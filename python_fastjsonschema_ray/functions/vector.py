@@ -1,43 +1,48 @@
 """Vectorized Arrow-level schema compiler.
 
 Compiles one JSON Schema against one concrete Arrow type into a plan of
-vectorized rule evaluators (`pyarrow.compute` / numpy kernels) that validate a
-whole column (or a whole table viewed as a struct array) per batch, emitting
-reference-identical violation records.
+vectorized rule evaluators (``pyarrow.compute`` / numpy kernels) that validate
+a whole column — or a whole table viewed as a struct array — per batch,
+emitting reference-identical violation records.
 
 Key design points (vs the reference's per-document codegen,
 ``fastjsonschema/generator.py:17-190``):
 
-* **Compile-time type guards.** The reference guards every keyword with
-  ``isinstance`` checks at runtime (e.g. ``minLength`` silently passes for
+* **Compile-time type guards.**  The reference guards every keyword with
+  runtime ``isinstance`` checks (e.g. ``minLength`` silently passes for
   non-strings, ``draft04.py:268``).  Against a typed Arrow column the guard is
   decided once at compile time: a rule that cannot apply to the column's type
   compiles to a no-op; only *null* handling remains a runtime mask.
 
-* **A table is a struct view.** ``TableValidator`` wraps the batch's columns
-  in a ``pa.StructArray`` (zero-copy) and validates it as a root ``object``
-  node, so required/properties/dependencies/if-then-else across columns fall
-  out of the generic struct-node compilation.
+* **A table is a struct view.**  ``TableValidator`` (pipelines/validate.py)
+  wraps the batch's columns in a ``pa.StructArray`` (zero-copy) and validates
+  it as a root ``object`` node, so required / properties / dependencies /
+  if-then-else across columns fall out of generic struct-node compilation.
 
 * **Element-major fast-fail ordering.**  The reference raises on the *first*
-  failing check in document-traversal order (SURVEY.md §2.4).  Each exc site
+  failing check in document-traversal order (SURVEY.md §2.4).  Every exc site
   gets an int64 order key; list elements expand keys as
-  ``base + elem_pos * child_span + child_key`` so per-row ``min(key)``
-  reproduces the traversal order exactly.
+  ``base + elem_pos * child_span + child_rel_key`` so a per-row ``min(key)``
+  reproduces the traversal order exactly, element-major.
 
-* **Per-rule row kernels as escape hatch.**  Rules with no Arrow kernel
-  (Decimal-exact float ``multipleOf``, deep enum over structs, Python-``re``
-  regexes that RE2 cannot run) fall back to a per-row kernel *for that rule
-  only*; ordering, messages and the violation payload stay uniform.
+* **Per-rule row kernels as the escape hatch.**  Rules with no Arrow kernel
+  (Decimal-exact float ``multipleOf``, deep enums, Python-``re`` patterns RE2
+  cannot run) fall back to a per-row kernel *for that rule only*; ordering,
+  messages and violation payloads stay uniform.  Constructs the vector model
+  cannot express at all raise :class:`Unsupported` and the owning column
+  falls back to the interpreted scalar validator (functions/scalar.py).
 
-* **Whole-column scalar fallback** only where semantics demand it
-  ($ref in collect mode, transforms under composition); handled by
-  :class:`ScalarFallbackPlan` which runs the interpreted validator per row.
+Emit contract: an :class:`Emit` is a batch of violations from one exc site.
+``rows`` are view-local row indices *at the level the emit has bubbled to*,
+``key`` the absolute order keys, ``sel`` positional entry ids, and
+``records(sel)`` a frozen closure producing ``(name, message, rule,
+definition, value)`` payloads — wrappers remap ``rows``/``key`` only, filters
+slice all three, and payload generation stays bound to the view that
+produced it.
 """
 
 from __future__ import annotations
 
-import base64 as _base64
 import json as _json
 import re
 from decimal import Decimal
@@ -58,79 +63,97 @@ from .scalar import (
     keyword_order,
 )
 
-_MAXKEY = np.int64(2**62)
+MAXKEY = np.int64(2**62)
 
 
-def _json_default(obj):
-    if isinstance(obj, bytes):
-        try:
-            return obj.decode('utf-8')
-        except UnicodeDecodeError:
-            return _base64.b64encode(obj).decode('ascii')
-    if isinstance(obj, Decimal):
-        return float(obj)
-    return str(obj)
-
-
-def json_dump(value) -> str:
-    return _json.dumps(value, default=_json_default, ensure_ascii=False)
+class Unsupported(Exception):
+    """A construct the vector model cannot express on this Arrow type; the
+    owning column falls back to the interpreted scalar path."""
 
 
 # ---------------------------------------------------------------------------
-# Views
+# Views and emits
 
 
 class View:
     """One nesting level of a column during evaluation: the Arrow array of
-    values at this level plus the mapping back to root rows and lazy
-    per-element display names."""
+    values at this level plus lazy per-element display names."""
 
-    __slots__ = ('arr', 'n', 'root_rows', 'name_fn', '_np_cache')
+    __slots__ = ('arr', 'n', 'name_fn', '_cache')
 
-    def __init__(self, arr: pa.Array, root_rows: np.ndarray, name_fn):
+    def __init__(self, arr: pa.Array, name_fn):
         self.arr = arr
         self.n = len(arr)
-        self.root_rows = root_rows
         self.name_fn = name_fn      # (local_idx: int) -> str
-        self._np_cache = {}
+        self._cache = {}
 
     def valid_mask(self) -> np.ndarray:
-        m = self._np_cache.get('valid')
+        m = self._cache.get('valid')
         if m is None:
             if self.arr.null_count == 0:
                 m = np.ones(self.n, dtype=bool)
             else:
                 m = np.asarray(self.arr.is_valid())
-            self._np_cache['valid'] = m
+            self._cache['valid'] = m
         return m
 
-    def values_at(self, idx: np.ndarray):
-        """Python values for the given local indices (violating rows only)."""
+    def list_lengths(self) -> np.ndarray:
+        lens = self._cache.get('list_len')
+        if lens is None:
+            raw = pc.list_value_length(self.arr)
+            if raw.null_count:
+                raw = raw.fill_null(0)
+            lens = np.asarray(raw).astype(np.int64)
+            self._cache['list_len'] = lens
+        return lens
+
+    def values_at(self, idx) -> list:
         if len(idx) == 0:
             return []
-        return self.arr.take(pa.array(idx, type=pa.int64())).to_pylist()
+        return self.arr.take(pa.array(np.asarray(idx), type=pa.int64())).to_pylist()
 
 
 class Emit:
-    """One batch of violations from a single exc site."""
+    __slots__ = ('rows', 'key', 'sel', 'records')
 
-    __slots__ = ('idx', 'key', 'rule', 'definition', 'messages', 'values_override')
+    def __init__(self, rows, key, sel, records):
+        self.rows = rows
+        self.key = key
+        self.sel = sel
+        self.records = records      # callable(sel) -> list[(name, message, rule, definition, value)]
 
-    def __init__(self, idx, key, rule, definition, messages, values_override=None):
-        self.idx = idx                  # np.int64 view-local indices
-        self.key = key                  # np.int64 order keys, same length
-        self.rule = rule                # keyword str or None
-        self.definition = definition    # expanded definition (python object)
-        self.messages = messages        # callable(view, idx) -> list[str]
-        self.values_override = values_override  # callable(view, idx) -> list | None
+    def filtered(self, keep: np.ndarray) -> 'Emit':
+        return Emit(self.rows[keep], self.key[keep], self.sel[keep], self.records)
+
+    def remapped(self, rows, key) -> 'Emit':
+        return Emit(rows, key, self.sel, self.records)
+
+
+def make_emit(view: View, idx: np.ndarray, key, rule, definition, message_fn):
+    """Standard emit: names/values pulled lazily from the view."""
+    idx = np.asarray(idx, dtype=np.int64)
+    if np.isscalar(key) or getattr(key, 'ndim', 1) == 0:
+        key = np.full(len(idx), key, dtype=np.int64)
+
+    def records(sel):
+        picked = idx[sel]
+        values = view.values_at(picked)
+        names = [view.name_fn(int(j)) for j in picked]
+        messages = message_fn(view, picked)
+        return [
+            (names[i], messages[i], rule, definition, values[i])
+            for i in range(len(picked))
+        ]
+
+    return Emit(idx.copy(), key, np.arange(len(idx), dtype=np.int64), records)
 
 
 class NodeResult:
     __slots__ = ('fail', 'emits')
 
-    def __init__(self, fail: np.ndarray, emits):
-        self.fail = fail
-        self.emits = emits
+    def __init__(self, fail, emits):
+        self.fail = fail            # np.bool_[n] or None
+        self.emits = emits          # list[Emit]
 
 
 def _or(a, b):
@@ -141,123 +164,12 @@ def _or(a, b):
     return a | b
 
 
-# ---------------------------------------------------------------------------
-# Rule / node plans
-
-
-class Rule:
-    """One keyword at one node.  ``span`` counts exc-site slots in this rule's
-    subtree (for order-key allocation); ``offset`` is assigned by the node."""
-
-    span = 1
-
-    def __init__(self):
-        self.offset = 0
-
-    def evaluate(self, view: View, collect: bool) -> NodeResult:
-        raise NotImplementedError
-
-
-class SimpleRule(Rule):
-    """A leaf rule: one fail-mask function + one message site."""
-
-    def __init__(self, rule, definition, mask_fn, message_tail=None, message_fn=None):
-        super().__init__()
-        self.rule = rule
-        self.definition = definition
-        self.mask_fn = mask_fn          # (view) -> np.bool_[n] | None
-        self.message_tail = message_tail
-        self.message_fn = message_fn    # overrides tail: (view, idx) -> [str]
-
-    def evaluate(self, view, collect):
-        fail = self.mask_fn(view)
-        if fail is None or not fail.any():
-            return NodeResult(None, [])
-        idx = np.nonzero(fail)[0].astype(np.int64)
-        key = np.full(len(idx), self.offset, dtype=np.int64)
-        if self.message_fn is not None:
-            messages = self.message_fn
-        else:
-            tail = self.message_tail
-
-            def messages(v, i, _tail=tail):
-                return [v.name_fn(j) + _tail for j in i]
-
-        return NodeResult(fail, [Emit(idx, key, self.rule, self.definition, messages)])
-
-
-class ConstantRule(Rule):
-    """A rule whose outcome is the same for every non-null element
-    (e.g. ``required`` against a struct type, ``minProperties`` vs a fixed
-    field count).  ``applies_to_null``: object-guarded rules skip null rows."""
-
-    def __init__(self, rule, definition, fails: bool, message_tail,
-                 applies_to_null=False):
-        super().__init__()
-        self.rule = rule
-        self.definition = definition
-        self.fails = fails
-        self.message_tail = message_tail
-        self.applies_to_null = applies_to_null
-
-    def evaluate(self, view, collect):
-        if not self.fails:
-            return NodeResult(None, [])
-        fail = np.ones(view.n, dtype=bool) if self.applies_to_null \
-            else view.valid_mask().copy()
-        if not fail.any():
-            return NodeResult(None, [])
-        idx = np.nonzero(fail)[0].astype(np.int64)
-        key = np.full(len(idx), self.offset, dtype=np.int64)
-        tail = self.message_tail
-
-        def messages(v, i):
-            return [v.name_fn(j) + tail for j in i]
-
-        return NodeResult(fail, [Emit(idx, key, self.rule, self.definition, messages)])
-
-
-class NodePlan:
-    """Ordered rules for one (definition, arrow type) pair."""
-
-    def __init__(self, rules):
-        self.rules = rules
-        offset = 0
-        for r in rules:
-            r.offset = offset
-            offset += r.span
-        self.span = max(offset, 1)
-
-    def evaluate(self, view: View, collect: bool) -> NodeResult:
-        fail = None
-        emits = []
-        for rule in self.rules:
-            res = rule.evaluate(view, collect)
-            fail = _or(fail, res.fail)
-            emits.extend(res.emits)
-        return NodeResult(fail, emits)
-
-
-class AlwaysFailNode(NodePlan):
-    """Boolean schema ``False`` (draft06.py:46-54): every present value fails."""
-
-    def __init__(self, rule, definition, message_tail=' must not be there'):
-        super().__init__([ConstantRule(rule, definition, True, message_tail,
-                                       applies_to_null=True)])
+def _zeros(n):
+    return np.zeros(n, dtype=bool)
 
 
 # ---------------------------------------------------------------------------
-# The compiler
-
-
-class Unsupported(Exception):
-    """Raised during plan compilation when a construct cannot be vectorized;
-    the caller falls back to the interpreted scalar path for the column."""
-
-
-_NUMERIC_TYPES = ('int8', 'int16', 'int32', 'int64', 'uint8', 'uint16',
-                  'uint32', 'uint64', 'float', 'double', 'halffloat',
-                  'decimal128', 'decimal256')
+# Type predicates
 
 
 def _is_string(dt):
@@ -265,7 +177,8 @@ def _is_string(dt):
 
 
 def _is_binary(dt):
-    return pa.types.is_binary(dt) or pa.types.is_large_binary(dt)
+    return pa.types.is_binary(dt) or pa.types.is_large_binary(dt) \
+        or pa.types.is_fixed_size_binary(dt)
 
 
 def _is_number(dt):
@@ -291,83 +204,897 @@ def _np_bool(arrow_bool_arr, n) -> np.ndarray:
 # Regex constructs RE2 (Arrow's engine) cannot run or runs differently from
 # Python `re`; their presence forces the per-row Python kernel.
 _RE2_UNSUPPORTED = re.compile(
-    r'\(\?[=!<]'      # lookahead / lookbehind
+    r'\(\?[=!<]'      # lookahead / lookbehind / named groups (?<...>
     r'|\\[1-9]'       # backreferences
-    r'|\(\?P?[<>]'    # named-group syntax variations
-    r'|\\Z|\\A|\\G'
+    r'|\(\?P'         # named groups
+    r'|\\Z|\\A|\\G|\\b|\\B'
 )
+
+
+# ---------------------------------------------------------------------------
+# Rules
+
+
+class Rule:
+    """One keyword at one node.  ``span`` counts exc-site slots in this
+    rule's subtree; ``offset`` (absolute order-key base) is assigned by the
+    owning NodePlan top-down after compilation."""
+
+    span = 1
+
+    def __init__(self):
+        self._offset = 0
+
+    @property
+    def offset(self):
+        return self._offset
+
+    def set_offset(self, value):
+        self._offset = value
+
+    def evaluate(self, view: View, collect: bool) -> NodeResult:
+        raise NotImplementedError
+
+
+class SimpleRule(Rule):
+    def __init__(self, rule, definition, mask_fn, message_tail=None,
+                 message_fn=None):
+        super().__init__()
+        self.rule = rule
+        self.definition = definition
+        self.mask_fn = mask_fn
+        if message_fn is None:
+            tail = message_tail
+
+            def message_fn(view, idx, _tail=tail):
+                return [view.name_fn(int(j)) + _tail for j in idx]
+        self.message_fn = message_fn
+
+    def evaluate(self, view, collect):
+        fail = self.mask_fn(view)
+        if fail is None or not fail.any():
+            return NodeResult(None, [])
+        idx = np.nonzero(fail)[0]
+        emit = make_emit(view, idx, self.offset, self.rule, self.definition,
+                         self.message_fn)
+        return NodeResult(fail, [emit])
+
+
+class ConstantRule(Rule):
+    """Outcome decided at compile time for every non-null element (e.g.
+    ``required`` against a struct type)."""
+
+    def __init__(self, rule, definition, fails, message_tail,
+                 applies_to_null=False, message_fn=None):
+        super().__init__()
+        self.rule = rule
+        self.definition = definition
+        self.fails = fails
+        self.applies_to_null = applies_to_null
+        if message_fn is None:
+            tail = message_tail
+
+            def message_fn(view, idx, _tail=tail):
+                return [view.name_fn(int(j)) + _tail for j in idx]
+        self.message_fn = message_fn
+
+    def evaluate(self, view, collect):
+        if not self.fails:
+            return NodeResult(None, [])
+        fail = np.ones(view.n, dtype=bool) if self.applies_to_null \
+            else view.valid_mask().copy()
+        if not fail.any():
+            return NodeResult(None, [])
+        idx = np.nonzero(fail)[0]
+        emit = make_emit(view, idx, self.offset, self.rule, self.definition,
+                         self.message_fn)
+        return NodeResult(fail, [emit])
+
+
+class NodePlan:
+    """Ordered rules for one (definition, arrow type) pair."""
+
+    def __init__(self, rules):
+        self.rules = rules
+        self.span = max(sum(r.span for r in rules), 1)
+
+    def set_offset(self, value):
+        off = value
+        for r in self.rules:
+            r.set_offset(off)
+            off += r.span
+
+    def evaluate(self, view: View, collect: bool) -> NodeResult:
+        fail = None
+        emits = []
+        for rule in self.rules:
+            res = rule.evaluate(view, collect)
+            fail = _or(fail, res.fail)
+            emits.extend(res.emits)
+        return NodeResult(fail, emits)
+
+    def fail_mask(self, view, collect) -> np.ndarray:
+        res = self.evaluate(view, collect)
+        return _zeros(view.n) if res.fail is None else res.fail
+
+
+class CompositeRule(Rule):
+    """Sub-rules sharing this slot range sequentially (allOf, dependencies)."""
+
+    def __init__(self, rules):
+        super().__init__()
+        self.rules = rules
+        self.span = max(sum(r.span for r in rules), 1)
+
+    def set_offset(self, value):
+        super().set_offset(value)
+        off = value
+        for r in self.rules:
+            r.set_offset(off)
+            off += r.span
+
+    def evaluate(self, view, collect):
+        fail = None
+        emits = []
+        for r in self.rules:
+            res = r.evaluate(view, collect)
+            fail = _or(fail, res.fail)
+            emits.extend(res.emits)
+        return NodeResult(fail, emits)
+
+
+class SubSchemaRule(Rule):
+    """A nested full schema evaluated on the same view (allOf branches,
+    schema-form dependencies)."""
+
+    def __init__(self, plan: NodePlan):
+        super().__init__()
+        self.plan = plan
+        self.span = plan.span
+
+    def set_offset(self, value):
+        super().set_offset(value)
+        self.plan.set_offset(value)
+
+    def evaluate(self, view, collect):
+        return self.plan.evaluate(view, collect)
+
+
+class AnyOfRule(Rule):
+    def __init__(self, plans, definition):
+        super().__init__()
+        self.plans = plans
+        self.definition = definition
+
+    def evaluate(self, view, collect):
+        if collect:
+            # Reference collect-mode quirk (generator.py:277-295 +
+            # draft04.py:196-204): branch errors are appended rather than
+            # raised, so the first branch always "passes" and the
+            # `if not count:` guard skips every later branch — only branch
+            # 0's violations leak, and the anyOf-level error fires only with
+            # zero branches.
+            if self.plans:
+                res = self.plans[0].evaluate(view, collect)
+                return NodeResult(res.fail, res.emits)
+            fail = np.ones(view.n, dtype=bool)
+            return NodeResult(fail, [self._own(view, fail)])
+        ok = _zeros(view.n)
+        for p in self.plans:
+            ok |= ~p.fail_mask(view, collect)
+            if ok.all():
+                return NodeResult(None, [])
+        fail = ~ok
+        return NodeResult(fail, [self._own(view, fail)])
+
+    def _own(self, view, fail):
+        idx = np.nonzero(fail)[0]
+
+        def message_fn(v, i):
+            return [v.name_fn(int(j)) + ' cannot be validated by any definition'
+                    for j in i]
+        return make_emit(view, idx, self.offset, 'anyOf', self.definition,
+                         message_fn)
+
+
+class OneOfRule(Rule):
+    def __init__(self, plans, definition):
+        super().__init__()
+        self.plans = plans
+        self.definition = definition
+
+    def evaluate(self, view, collect):
+        if collect:
+            # Collect-mode quirk: the `if count < 2:` guard means only the
+            # first two branches run (leaking their errors); count then
+            # equals min(len, 2) for every row.
+            emits = []
+            leak_fail = None
+            for p in self.plans[:2]:
+                res = p.evaluate(view, collect)
+                leak_fail = _or(leak_fail, res.fail)
+                emits.extend(res.emits)
+            count = min(len(self.plans), 2)
+            if count == 1:
+                return NodeResult(leak_fail, emits)
+            fail = np.ones(view.n, dtype=bool)
+            counts = np.full(view.n, count, dtype=np.int64)
+            emits.append(self._own(view, fail, counts))
+            return NodeResult(fail, emits)
+        counts = np.zeros(view.n, dtype=np.int64)
+        for p in self.plans:
+            active = counts < 2
+            counts += (active & ~p.fail_mask(view, collect)).astype(np.int64)
+        fail = counts != 1
+        if not fail.any():
+            return NodeResult(None, [])
+        return NodeResult(fail, [self._own(view, fail, counts)])
+
+    def _own(self, view, fail, counts):
+        idx = np.nonzero(fail)[0]
+
+        def message_fn(v, i, _c=counts):
+            return ['{} must be valid exactly by one definition ({} matches found)'
+                    .format(v.name_fn(int(j)), int(_c[j])) for j in i]
+        return make_emit(view, idx, self.offset, 'oneOf', self.definition,
+                         message_fn)
+
+
+class NotRule(Rule):
+    def __init__(self, plan, definition, mode):
+        super().__init__()
+        self.plan = plan
+        self.definition = definition
+        self.mode = mode    # 'schema' | 'always' | 'always_disallowed'
+
+    def evaluate(self, view, collect):
+        if self.mode == 'always':
+            fail = np.ones(view.n, dtype=bool)
+            return NodeResult(fail, [self._own(view, fail, ' must not be there')])
+        if self.mode == 'always_disallowed':
+            fail = np.ones(view.n, dtype=bool)
+            return NodeResult(fail, [self._own(
+                view, fail, ' must NOT match a disallowed definition')])
+        if collect:
+            emits = list(self.plan.evaluate(view, collect).emits)
+            fail = np.ones(view.n, dtype=bool)
+            emits.append(self._own(
+                view, fail, ' must NOT match a disallowed definition'))
+            return NodeResult(fail, emits)
+        fail = ~self.plan.fail_mask(view, collect)
+        if not fail.any():
+            return NodeResult(None, [])
+        return NodeResult(fail, [self._own(
+            view, fail, ' must NOT match a disallowed definition')])
+
+    def _own(self, view, fail, tail):
+        idx = np.nonzero(fail)[0]
+
+        def message_fn(v, i, _t=tail):
+            return [v.name_fn(int(j)) + _t for j in i]
+        return make_emit(view, idx, self.offset, 'not', self.definition,
+                         message_fn)
+
+
+class IfThenElseRule(Rule):
+    def __init__(self, if_plan, then_plan, else_plan):
+        super().__init__()
+        self.if_plan = if_plan
+        self.then_plan = then_plan
+        self.else_plan = else_plan
+        then_span = then_plan.span if then_plan else 0
+        else_span = else_plan.span if else_plan else 0
+        self.span = max(then_span + else_span, 1)
+        self._else_rel = then_span
+
+    def set_offset(self, value):
+        super().set_offset(value)
+        if self.then_plan:
+            self.then_plan.set_offset(value)
+        if self.else_plan:
+            self.else_plan.set_offset(value + self._else_rel)
+
+    def evaluate(self, view, collect):
+        if collect:
+            # Collect-mode quirk: the `if` branch appends its errors without
+            # raising, so `then` always runs and `else` never does — and the
+            # leaked `if` errors make the document invalid.
+            if_res = self.if_plan.evaluate(view, collect)
+            emits = list(if_res.emits)
+            fail = if_res.fail
+            if self.then_plan:
+                res = self.then_plan.evaluate(view, collect)
+                fail = _or(fail, res.fail)
+                emits.extend(res.emits)
+            return NodeResult(fail, emits)
+        cond_fail = self.if_plan.fail_mask(view, collect)
+        fail = None
+        emits = []
+        if self.then_plan:
+            res = self.then_plan.evaluate(view, collect)
+            if res.fail is not None:
+                fail = _or(fail, res.fail & ~cond_fail)
+            for e in res.emits:
+                emits.append(e.filtered(~cond_fail[e.rows]))
+        if self.else_plan:
+            res = self.else_plan.evaluate(view, collect)
+            if res.fail is not None:
+                fail = _or(fail, res.fail & cond_fail)
+            for e in res.emits:
+                emits.append(e.filtered(cond_fail[e.rows]))
+        return NodeResult(fail, emits)
+
+
+class ListItemsRule(Rule):
+    """Homogeneous ``items`` schema: flatten the list column, evaluate the
+    child plan over the flat view, roll failures up via repeat-offsets.
+    Order keys expand element-major (see module docstring)."""
+
+    def __init__(self, child_plan):
+        super().__init__()
+        self.child = child_plan
+        self.span = child_plan.span
+
+    def set_offset(self, value):
+        super().set_offset(value)
+        self.child.set_offset(value)
+
+    def evaluate(self, view, collect):
+        lens = view.list_lengths()
+        total = int(lens.sum())
+        if total == 0:
+            return NodeResult(None, [])
+        flat = pc.list_flatten(view.arr)
+        parents = np.repeat(np.arange(view.n, dtype=np.int64), lens)
+        positions = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(lens) - lens, lens)
+        parent_name = view.name_fn
+
+        def name_fn(i):
+            return '{}[{}]'.format(parent_name(int(parents[i])),
+                                   int(positions[i]))
+
+        child_view = View(flat, name_fn)
+        res = self.child.evaluate(child_view, collect)
+        if res.fail is None and not res.emits:
+            return NodeResult(None, [])
+        fail = _zeros(view.n)
+        if res.fail is not None and res.fail.any():
+            np.bitwise_or.at(fail, parents[res.fail], True)
+        base, span = self.offset, self.span
+        emits = []
+        for e in res.emits:
+            new_rows = parents[e.rows]
+            new_key = base + positions[e.rows] * span + (e.key - base)
+            emits.append(e.remapped(new_rows, new_key))
+        return NodeResult(fail, emits)
+
+
+class TupleItemsRule(Rule):
+    """Tuple-form ``items`` (+ ``additionalItems``) over homogeneous Arrow
+    lists: a sub-plan per declared index, then the additional-items schema
+    (or forbid) for the tail."""
+
+    def __init__(self, definition_expanded, plans, additional, add_plan):
+        super().__init__()
+        self.defn = definition_expanded
+        self.plans = plans
+        self.additional = additional      # _MISSING | False | True | schema
+        self.add_plan = add_plan
+        self.n_tuple = len(plans)
+        self._forbid_rel = sum(p.span for p in plans)
+        add_span = add_plan.span if add_plan else 0
+        self.span = self._forbid_rel + 1 + add_span
+
+    def set_offset(self, value):
+        super().set_offset(value)
+        off = value
+        for p in self.plans:
+            p.set_offset(off)
+            off += p.span
+        self._forbid_off = value + self._forbid_rel
+        if self.add_plan:
+            self.add_plan.set_offset(self._forbid_off + 1)
+
+    def evaluate(self, view, collect):
+        lens = view.list_lengths()
+        total = int(lens.sum())
+        flat = pc.list_flatten(view.arr) if total else None
+        starts = np.cumsum(lens) - lens
+        parent_name = view.name_fn
+        fail = None
+        emits = []
+        for pos, plan in enumerate(self.plans):
+            has = lens > pos
+            if not has.any():
+                continue
+            rows = np.nonzero(has)[0].astype(np.int64)
+            elem_idx = starts[rows] + pos
+            sub_arr = flat.take(pa.array(elem_idx, type=pa.int64()))
+
+            def name_fn(i, _rows=rows, _pos=pos):
+                return '{}[{}]'.format(parent_name(int(_rows[i])), _pos)
+
+            sub_view = View(sub_arr, name_fn)
+            res = plan.evaluate(sub_view, collect)
+            if res.fail is not None and res.fail.any():
+                f = _zeros(view.n)
+                f[rows[res.fail]] = True
+                fail = _or(fail, f)
+            for e in res.emits:
+                emits.append(e.remapped(rows[e.rows], e.key))
+        if self.additional is False:
+            over = lens > self.n_tuple
+            over &= view.valid_mask()
+            if over.any():
+                idx = np.nonzero(over)[0]
+
+                def message_fn(v, i):
+                    return [v.name_fn(int(j)) + ' must contain only specified items'
+                            for j in i]
+                emits.append(make_emit(view, idx, self._forbid_off, 'items',
+                                       self.defn, message_fn))
+                fail = _or(fail, over)
+        elif self.add_plan is not None:
+            extra = np.maximum(lens - self.n_tuple, 0)
+            tot_extra = int(extra.sum())
+            if tot_extra:
+                rows = np.repeat(np.arange(view.n, dtype=np.int64), extra)
+                pos_in_row = (np.arange(tot_extra, dtype=np.int64)
+                              - np.repeat(np.cumsum(extra) - extra, extra)
+                              + self.n_tuple)
+                elem_idx = starts[rows] + pos_in_row
+                sub_arr = flat.take(pa.array(elem_idx, type=pa.int64()))
+
+                def name_fn(i, _rows=rows, _pos=pos_in_row):
+                    return '{}[{}]'.format(parent_name(int(_rows[i])),
+                                           int(_pos[i]))
+
+                sub_view = View(sub_arr, name_fn)
+                res = self.add_plan.evaluate(sub_view, collect)
+                if res.fail is not None and res.fail.any():
+                    f = _zeros(view.n)
+                    np.bitwise_or.at(f, rows[res.fail], True)
+                    fail = _or(fail, f)
+                base = self._forbid_off + 1
+                span = self.add_plan.span
+                for e in res.emits:
+                    new_key = base + (pos_in_row[e.rows] - self.n_tuple) * span \
+                        + (e.key - base)
+                    emits.append(e.remapped(rows[e.rows], new_key))
+        return NodeResult(fail, emits)
+
+
+class ContainsRule(Rule):
+    def __init__(self, child_plan, definition):
+        super().__init__()
+        self.child = child_plan
+        self.definition = definition
+        self.span = child_plan.span + 1
+
+    def set_offset(self, value):
+        super().set_offset(value)
+        self.child.set_offset(value)
+        self._own_off = value + self.child.span
+
+    def evaluate(self, view, collect):
+        if collect:
+            return self._evaluate_collect(view)
+        lens = view.list_lengths()
+        total = int(lens.sum())
+        any_ok = _zeros(view.n)
+        if total:
+            flat = pc.list_flatten(view.arr)
+            parents = np.repeat(np.arange(view.n, dtype=np.int64), lens)
+            child_view = View(flat, lambda i: 'x')
+            child_fail = self.child.fail_mask(child_view, False)
+            ok_parents = parents[~child_fail]
+            if len(ok_parents):
+                any_ok[ok_parents] = True
+        fail = ~any_ok
+        fail &= view.valid_mask()
+        if not fail.any():
+            return NodeResult(None, [])
+        idx = np.nonzero(fail)[0]
+
+        def message_fn(v, i):
+            return [v.name_fn(int(j)) + ' must contain one of contains definition'
+                    for j in i]
+        return NodeResult(fail, [make_emit(view, idx, self._own_off,
+                                           'contains', self.definition,
+                                           message_fn)])
+
+    def _evaluate_collect(self, view):
+        # Reference collect-mode quirk (draft06.py:167-178): the per-element
+        # sub-block appends errors instead of raising, so only element 0 is
+        # ever examined, its errors leak into the list, and the
+        # contains-level error fires only for empty lists.
+        lens = view.list_lengths()
+        nonempty = lens > 0
+        fail = None
+        emits = []
+        if nonempty.any():
+            rows = np.nonzero(nonempty)[0].astype(np.int64)
+            starts = (np.cumsum(lens) - lens)[rows]
+            flat = pc.list_flatten(view.arr)
+            first = flat.take(pa.array(starts, type=pa.int64()))
+            parent_name = view.name_fn
+
+            def name_fn(i, _rows=rows):
+                # The reference passes the parent variable_name unchanged.
+                return parent_name(int(_rows[i]))
+
+            sub_view = View(first, name_fn)
+            res = self.child.evaluate(sub_view, True)
+            if res.fail is not None and res.fail.any():
+                f = _zeros(view.n)
+                f[rows[res.fail]] = True
+                fail = f
+            for e in res.emits:
+                emits.append(e.remapped(rows[e.rows], e.key))
+        empty = ~nonempty & view.valid_mask()
+        if empty.any():
+            idx = np.nonzero(empty)[0]
+
+            def message_fn(v, i):
+                return [v.name_fn(int(j))
+                        + ' must contain one of contains definition' for j in i]
+            emits.append(make_emit(view, idx, self._own_off, 'contains',
+                                   self.definition, message_fn))
+            fail = _or(fail, empty)
+        return NodeResult(fail, emits)
+
+
+class StructChildrenRule(Rule):
+    """Shared machinery for properties / patternProperties /
+    additionalProperties-with-schema over struct columns: per-field
+    sub-plans, child emits masked where the parent struct row is null."""
+
+    def __init__(self, rule_name, fields):
+        super().__init__()
+        self.rule_name = rule_name
+        self.fields = fields        # list of (key, field_index, plan)
+        self.span = max(sum(p.span for _, _, p in fields), 1)
+
+    def set_offset(self, value):
+        super().set_offset(value)
+        off = value
+        for _, _, plan in self.fields:
+            plan.set_offset(off)
+            off += plan.span
+
+    def evaluate(self, view, collect):
+        if not self.fields:
+            return NodeResult(None, [])
+        parent_valid = view.valid_mask()
+        all_valid = bool(parent_valid.all())
+        parent_name = view.name_fn
+        fail = None
+        emits = []
+        for key, field_idx, plan in self.fields:
+            child = view.arr.field(field_idx)
+
+            def name_fn(i, _key=key):
+                return '{}.{}'.format(parent_name(int(i)), _key)
+
+            child_view = View(child, name_fn)
+            res = plan.evaluate(child_view, collect)
+            if res.fail is not None:
+                fail = _or(fail, res.fail if all_valid else res.fail & parent_valid)
+            for e in res.emits:
+                emits.append(e if all_valid else e.filtered(parent_valid[e.rows]))
+        return NodeResult(fail, emits)
+
+
+class ForbidExtraColumnsRule(Rule):
+    """additionalProperties: False with leftover struct fields — every
+    present row violates, message embeds the leftover key set
+    (draft04.py:629-631)."""
+
+    def __init__(self, definition, leftover):
+        super().__init__()
+        self.definition = definition
+        self.leftover = set(leftover)
+
+    def evaluate(self, view, collect):
+        fail = view.valid_mask().copy()
+        if not fail.any():
+            return NodeResult(None, [])
+        idx = np.nonzero(fail)[0]
+        leftover = self.leftover
+
+        def message_fn(v, i):
+            return ['{} must not contain {} properties'.format(
+                v.name_fn(int(j)), leftover) for j in i]
+        return NodeResult(fail, [make_emit(view, idx, self.offset,
+                                           'additionalProperties',
+                                           self.definition, message_fn)])
+
+
+class DependencyMessageRule(Rule):
+    """Constant dependency violations over struct fields (forbid / missing)."""
+
+    def __init__(self, definition, template_fn):
+        super().__init__()
+        self.definition = definition
+        self.template_fn = template_fn
+
+    def evaluate(self, view, collect):
+        fail = view.valid_mask().copy()
+        if not fail.any():
+            return NodeResult(None, [])
+        idx = np.nonzero(fail)[0]
+        tpl = self.template_fn
+
+        def message_fn(v, i):
+            return [tpl(v.name_fn(int(j))) for j in i]
+        return NodeResult(fail, [make_emit(view, idx, self.offset,
+                                           'dependencies', self.definition,
+                                           message_fn)])
+
+
+class PropertyNamesRule(Rule):
+    """propertyNames over struct fields; outcomes precomputed at compile
+    time from the static field names (see _v_propertyNames)."""
+
+    def __init__(self, definition, ok, leaked, sentinel):
+        super().__init__()
+        self.definition = definition
+        self.ok = ok
+        self.leaked = leaked        # collect-mode leaked exceptions
+        self.sentinel = sentinel
+
+    def evaluate(self, view, collect):
+        if collect:
+            if not self.leaked:
+                return NodeResult(None, [])
+            valid = view.valid_mask()
+            if not valid.any():
+                return NodeResult(None, [])
+            idx = np.nonzero(valid)[0].astype(np.int64)
+            n_err = len(self.leaked)
+            rows = np.repeat(idx, n_err)
+            key = np.full(len(rows), self.offset, dtype=np.int64)
+            leaked, sentinel = self.leaked, self.sentinel
+            name_fn = view.name_fn
+
+            def records(sel, _rows=rows):
+                out = []
+                for s in sel:
+                    exc = leaked[s % n_err]
+                    name = name_fn(int(_rows[s]))
+                    out.append((
+                        name,
+                        exc.message.replace(sentinel, name),
+                        exc.rule, exc.definition, exc.value))
+                return out
+
+            fail = valid.copy()
+            return NodeResult(fail, [Emit(
+                rows, key, np.arange(len(rows), dtype=np.int64), records)])
+        if self.ok:
+            return NodeResult(None, [])
+        fail = view.valid_mask().copy()
+        if not fail.any():
+            return NodeResult(None, [])
+        idx = np.nonzero(fail)[0]
+
+        def message_fn(v, i):
+            return [v.name_fn(int(j))
+                    + ' must be named by propertyName definition' for j in i]
+        return NodeResult(fail, [make_emit(view, idx, self.offset,
+                                           'propertyNames', self.definition,
+                                           message_fn)])
+
+
+class ContentSiteRule(Rule):
+    """Placeholder slot for contentEncoding/contentMediaType at column level.
+    The transform itself is executed by TableValidator (it needs to write the
+    decoded output column); this rule only reserves the order-key slot so
+    decode failures sort exactly where the reference would raise them."""
+
+    def __init__(self, keyword, definition):
+        super().__init__()
+        self.keyword = keyword
+        self.definition = definition
+
+    def evaluate(self, view, collect):
+        return NodeResult(None, [])
+
+
+class RowFallbackRule(Rule):
+    """Whole-subtree fallback to the interpreted scalar validator, as a rule
+    inside the vector plan: exact reference semantics per row at this node's
+    position in the order.  Used when compile raises :class:`Unsupported`
+    for a sub-schema.  Transforms are discarded (non-root temp-variable
+    semantics, draft04.py:553-559)."""
+
+    def __init__(self, runner, collect_runner):
+        super().__init__()
+        self.runner = runner            # fast-fail scalar node runner
+        self.collect_runner = collect_runner
+
+    def evaluate(self, view, collect):
+        from ..exceptions import JsonSchemaValuesException
+        values = view.arr.to_pylist()
+        n = view.n
+        fail = _zeros(n)
+        payloads = []                   # (row, [exceptions])
+        for i, value in enumerate(values):
+            name = view.name_fn(i)
+            if not collect:
+                try:
+                    self.runner([value], name, None)
+                except JsonSchemaValueException as exc:
+                    fail[i] = True
+                    payloads.append((i, [exc]))
+            else:
+                errs = []
+                self.collect_runner([value], name, errs)
+                if errs:
+                    fail[i] = True
+                    payloads.append((i, errs))
+        if not payloads:
+            return NodeResult(fail if fail.any() else None, [])
+        rows = []
+        excs = []
+        for i, errs in payloads:
+            for exc in errs:
+                rows.append(i)
+                excs.append(exc)
+        rows = np.asarray(rows, dtype=np.int64)
+        key = np.full(len(rows), self.offset, dtype=np.int64)
+
+        def records(sel):
+            return [
+                (excs[s].name, excs[s].message, excs[s].rule,
+                 excs[s].definition, excs[s].value)
+                for s in sel
+            ]
+
+        return NodeResult(fail, [Emit(rows, key,
+                                      np.arange(len(rows), dtype=np.int64),
+                                      records)])
+
+
+class AlwaysFailRule(Rule):
+    """Boolean schema ``False``: everything (including null) fails."""
+
+    def __init__(self, definition):
+        super().__init__()
+        self.definition = definition
+
+    def evaluate(self, view, collect):
+        fail = np.ones(view.n, dtype=bool)
+        idx = np.arange(view.n, dtype=np.int64)
+
+        def message_fn(v, i):
+            return [v.name_fn(int(j)) + ' must not be there' for j in i]
+        return NodeResult(fail, [make_emit(view, idx, self.offset, None,
+                                           self.definition, message_fn)])
+
+
+# ---------------------------------------------------------------------------
+# The compiler
 
 
 class VectorCompiler:
     """Compiles (definition, arrow type) into a :class:`NodePlan`.
 
-    Shares draft config, registry and flags with a :class:`ScalarCompiler`
-    (which also provides the per-row fallback kernels)."""
+    Shares draft config, registry, flags and row-kernel semantics with a
+    :class:`ScalarCompiler`."""
 
-    def __init__(self, scalar: ScalarCompiler):
+    def __init__(self, scalar: ScalarCompiler, allow_fallback_rules=True):
         self.scalar = scalar
         self.draft = scalar.draft
         self.registry = scalar.registry
         self.order = keyword_order(self.draft)
         self.format_regexs = FORMAT_REGEXS_BY_DRAFT[4 if self.draft <= 4 else self.draft]
+        self.allow_fallback_rules = allow_fallback_rules
         self._ref_depth = 0
-
-    # -- helpers --------------------------------------------------------
+        self.content_sites = []     # (path, keyword, definition, ContentSiteRule)
+        self._path = ()
+        # Content transforms are only writable when the schema sits directly
+        # on a column (depth 1, not under composition/lists) — the stack top
+        # says whether the node being compiled is such a column node.
+        self._content_ok_stack = [False]
 
     def _expand(self, definition):
         return self.registry.expand_refs(definition)
 
-    def compile_node(self, definition, dtype: pa.DataType) -> NodePlan:
+    # -- node compilation ------------------------------------------------
+
+    def compile_root(self, definition, dtype) -> NodePlan:
+        plan = self.compile_node(definition, dtype)
+        plan.set_offset(0)
+        return plan
+
+    def compile_node(self, definition, dtype: pa.DataType,
+                     content_ok: bool = False) -> NodePlan:
+        self._content_ok_stack.append(content_ok)
+        try:
+            return self._compile_node_inner(definition, dtype)
+        finally:
+            self._content_ok_stack.pop()
+
+    def _compile_node_inner(self, definition, dtype: pa.DataType) -> NodePlan:
         if isinstance(definition, bool):
             if self.draft <= 4:
                 raise JsonSchemaDefinitionException('definition must be an object')
             if definition:
                 return NodePlan([])
-            return AlwaysFailNode(None, definition)
+            return NodePlan([AlwaysFailRule(definition)])
         if not isinstance(definition, dict):
             raise JsonSchemaDefinitionException('definition must be an object')
         if '$ref' in definition:
-            # Inline the target: recursion is bounded by the finite nesting
-            # depth of the Arrow type (each inline consumes a nesting level
-            # for list/struct rules; scalar rules terminate immediately).
+            # Inline the target; recursion is bounded by the finite nesting
+            # of the Arrow type plus this guard.
             if self._ref_depth > 64:
                 raise Unsupported('$ref nesting too deep to inline')
             self._ref_depth += 1
             try:
                 with self.registry.resolving(definition['$ref']) as target:
-                    return self.compile_node(target, dtype)
+                    return self.compile_node(target, dtype,
+                                             self._content_ok_stack[-1])
             finally:
                 self._ref_depth -= 1
 
         rules = []
         for keyword in self.order:
-            if keyword in definition:
-                method = getattr(self, '_v_' + keyword.replace('$', ''), None)
-                if method is None:
-                    raise Unsupported('keyword {} not vectorized'.format(keyword))
+            if keyword not in definition:
+                continue
+            method = getattr(self, '_v_' + keyword, None)
+            if method is None:
+                raise Unsupported('keyword {}'.format(keyword))
+            try:
                 rule = method(definition, dtype)
-                if rule is not None:
-                    rules.append(rule)
+            except Unsupported:
+                if not self.allow_fallback_rules:
+                    raise
+                rule = self._fallback_rule({keyword: definition[keyword]})
+            if rule is not None:
+                rules.append(rule)
         return NodePlan(rules)
 
+    def _fallback_rule(self, definition):
+        """Per-keyword scalar fallback embedded in the vector plan."""
+        fast = ScalarCompiler(
+            definition, draft=self.draft, formats=self.scalar.custom_formats,
+            use_default=False, use_formats=self.scalar.use_formats,
+            detailed_exceptions=self.scalar.detailed, fast_fail=True,
+        ).compile_root()
+        coll = ScalarCompiler(
+            definition, draft=self.draft, formats=self.scalar.custom_formats,
+            use_default=False, use_formats=self.scalar.use_formats,
+            detailed_exceptions=self.scalar.detailed, fast_fail=False,
+        )
+        coll_root = coll.compile_root()
+
+        def fast_runner(cell, name, errors):
+            cell[0] = fast(cell[0], name)
+
+        def collect_runner(cell, name, errors):
+            from ..exceptions import JsonSchemaValuesException
+            try:
+                cell[0] = coll_root(cell[0], name)
+            except JsonSchemaValuesException as exc:
+                errors.extend(exc.errors)
+
+        return RowFallbackRule(fast_runner, collect_runner)
+
     def _simple(self, definition, rule, mask_fn, tail=None, message_fn=None):
-        return SimpleRule(rule, self._expand(definition), mask_fn, tail, message_fn)
+        return SimpleRule(rule, self._expand(definition), mask_fn, tail,
+                          message_fn)
 
     def _row_kernel(self, definition, rule, fn, tail=None, message_fn=None):
-        """Per-row kernel rule: fn(python_value) -> fails? (bool).
-        Only invoked for non-null values."""
         def mask(view):
-            valid = view.valid_mask()
-            if not valid.any():
-                return None
             values = view.arr.to_pylist()
-            fail = np.fromiter(
-                (bool(v is not None and fn(v)) for v in values),
+            return np.fromiter(
+                (v is not None and bool(fn(v)) for v in values),
                 dtype=bool, count=view.n)
-            return fail
         return self._simple(definition, rule, mask, tail, message_fn)
 
-    # -- scalar keywords ------------------------------------------------
+    # -- scalar keywords -------------------------------------------------
 
     def _v_type(self, definition, dtype):
         types = definition['type']
@@ -377,43 +1104,39 @@ class VectorCompiler:
                          'array', 'object'):
                 raise JsonSchemaDefinitionException('Unknown type')
         tail = ' must be {}'.format(' or '.join(types))
+        null_ok = 'null' in types
 
         def static_ok():
             if _is_string(dtype):
                 return 'string' in types
             if pa.types.is_boolean(dtype):
                 return 'boolean' in types
-            if pa.types.is_integer(dtype) or pa.types.is_decimal(dtype):
+            if pa.types.is_integer(dtype):
                 return 'integer' in types or 'number' in types
+            if pa.types.is_decimal(dtype):
+                return 'number' in types
             if pa.types.is_floating(dtype):
-                return 'number' in types  # integral floats handled below
+                return 'number' in types
             if _is_list(dtype):
                 return 'array' in types
-            if pa.types.is_struct(dtype):
+            if pa.types.is_struct(dtype) or pa.types.is_map(dtype):
                 return 'object' in types
             if pa.types.is_null(dtype):
                 return 'null' in types
-            if pa.types.is_timestamp(dtype) or pa.types.is_date(dtype) \
-                    or pa.types.is_time(dtype) or _is_binary(dtype):
-                # Engine extension: physical types with no JSON equivalent
-                # never satisfy a JSON 'type' assertion except via raw check
-                # columns; treat timestamps as strings for 'string' schemas.
-                return 'string' in types and (
-                    pa.types.is_timestamp(dtype) or pa.types.is_date(dtype)
-                    or pa.types.is_time(dtype))
+            if _is_binary(dtype) or pa.types.is_timestamp(dtype) \
+                    or pa.types.is_date(dtype) or pa.types.is_time(dtype):
+                # Physical engine types with no JSON counterpart: a binary
+                # payload column or timestamp never satisfies a JSON type
+                # assertion (validate them with engine-level checks instead).
+                return False
             raise Unsupported('type check on arrow type {}'.format(dtype))
 
-        null_ok = 'null' in types
-        integral_float_ok = (self.draft >= 6 and 'integer' in types
-                             and pa.types.is_floating(dtype))
-        if pa.types.is_floating(dtype) and 'integer' in types \
-                and 'number' not in types and self.draft <= 4:
-            # draft-04: floats are never integers.
-            ok = False
-        else:
-            ok = static_ok() or integral_float_ok
+        integral_float_rescue = (self.draft >= 6 and 'integer' in types
+                                 and 'number' not in types
+                                 and pa.types.is_floating(dtype))
+        ok = static_ok()
 
-        if ok and not integral_float_ok:
+        if ok or (null_ok and pa.types.is_null(dtype)):
             if null_ok:
                 return None
 
@@ -423,98 +1146,97 @@ class VectorCompiler:
                 return ~view.valid_mask()
             return self._simple(definition, 'type', mask, tail)
 
-        if integral_float_ok and not (static_ok() and 'number' in types):
-            # Only integral floats pass.
+        if integral_float_rescue:
+            # draft-06+: a float with zero fractional part counts as integer
+            # (draft06.py:56-84).
             def mask(view):
                 valid = view.valid_mask()
                 vals = np.asarray(view.arr.fill_null(0.0), dtype=np.float64)
                 integral = np.equal(vals, np.floor(vals)) & np.isfinite(vals)
                 fail = valid & ~integral
                 if not null_ok:
-                    fail |= ~valid
+                    fail = fail | ~valid
                 return fail
             return self._simple(definition, 'type', mask, tail)
 
-        if not ok:
+        if null_ok:
             def mask(view):
-                fail = view.valid_mask().copy()
-                if not null_ok:
-                    fail |= ~view.valid_mask()
-                return fail
+                return view.valid_mask().copy()
             return self._simple(definition, 'type', mask, tail)
-        return None
+
+        def mask(view):
+            return np.ones(view.n, dtype=bool)
+        return self._simple(definition, 'type', mask, tail)
 
     def _v_enum(self, definition, dtype):
         enum = definition['enum']
         if not isinstance(enum, (list, tuple)):
             raise JsonSchemaDefinitionException('enum must be an array')
         tail = ' must be one of ' + _embed_in_source(str(enum))
+        return self._membership_rule(definition, 'enum', enum, dtype, tail)
 
+    def _v_const(self, definition, dtype):
+        const = definition['const']
+        if self.draft <= 4:
+            return None
+        tail = ' must be same as const definition: {}'.format(
+            const if isinstance(const, str) else _embed_in_source(str(const)))
+        return self._membership_rule(definition, 'const', [const], dtype, tail)
+
+    def _membership_rule(self, definition, rule, options_all, dtype, tail):
+        """Shared enum/const: type-strict membership
+        (draft04.py:120-155 semantics)."""
         scalarish = all(
-            isinstance(x, (str, int, float, bool)) or x is None for x in enum)
+            isinstance(x, (str, int, float, bool)) or x is None
+            for x in options_all)
+        null_ok = any(x is None for x in options_all)
         if scalarish and (_is_string(dtype) or _is_number(dtype)
                           or pa.types.is_boolean(dtype)):
-            # Type-strict filtering mirrors _enum_value_matches
-            # (draft04.py:120-155): bools only match bools, numbers only
-            # numbers (ints and floats cross-match).
             if _is_string(dtype):
-                options = [x for x in enum if isinstance(x, str)]
+                options = [x for x in options_all if isinstance(x, str)]
             elif pa.types.is_boolean(dtype):
-                options = [x for x in enum if isinstance(x, bool)]
+                options = [x for x in options_all if isinstance(x, bool)]
             else:
-                options = [x for x in enum
-                           if isinstance(x, (int, float)) and not isinstance(x, bool)]
-            null_ok = any(x is None for x in enum)
+                options = [x for x in options_all
+                           if isinstance(x, (int, float))
+                           and not isinstance(x, bool)]
             if not options:
-                def mask(view, _null_ok=null_ok):
-                    fail = view.valid_mask().copy()
-                    if not _null_ok:
-                        fail |= ~view.valid_mask()
-                    return fail
-                return self._simple(definition, 'enum', mask, tail)
+                def mask(view):
+                    if null_ok:
+                        return view.valid_mask().copy()
+                    return np.ones(view.n, dtype=bool)
+                return self._simple(definition, rule, mask, tail)
+            if pa.types.is_boolean(dtype) or _is_string(dtype):
+                value_set = pa.array(options)
+            else:
+                value_set = pa.array([float(x) for x in options],
+                                     type=pa.float64())
 
-            def mask(view, _options=options, _null_ok=null_ok):
-                try:
-                    isin = pc.is_in(view.arr,
-                                    value_set=pa.array(_options), skip_nulls=True)
-                except pa.ArrowError:
-                    vals = view.arr.to_pylist()
-                    hit = np.fromiter(
-                        (any(enum_value_match(v, o) for o in _options)
-                         for v in vals), dtype=bool, count=view.n)
-                    fail = ~hit
-                    if _null_ok:
-                        fail &= view.valid_mask()
-                    return fail
+            def mask(view, _vs=value_set):
+                arr = view.arr
+                if _is_number(arr.type) and not pa.types.is_floating(arr.type):
+                    arr = arr.cast(pa.float64())
+                isin = pc.is_in(arr, value_set=_vs, skip_nulls=True)
                 fail = ~_np_bool(isin, view.n)
-                if _null_ok:
+                if null_ok:
                     fail &= view.valid_mask()
                 else:
                     fail |= ~view.valid_mask()
                 return fail
-            return self._simple(definition, 'enum', mask, tail)
+            return self._simple(definition, rule, mask, tail)
 
-        # Deep / mixed enum: per-row kernel with reference-exact matching.
-        null_ok = any(x is None for x in enum)
+        if pa.types.is_null(dtype):
+            fails = not null_ok
+            return ConstantRule(rule, self._expand(definition), fails, tail,
+                                applies_to_null=True)
 
         def mask(view):
             vals = view.arr.to_pylist()
-            fail = np.fromiter(
-                (not any(enum_value_match(v, o) for o in enum) for v in vals),
+            return np.fromiter(
+                (not any(enum_value_match(v, o) for o in options_all)
+                 for v in vals),
                 dtype=bool, count=view.n)
-            return fail
-        return self._simple(definition, 'enum', mask, tail)
-
-    def _v_const(self, definition, dtype):
-        const = definition['const']
-        tail = ' must be same as const definition: {}'.format(
-            const if isinstance(const, str) else _embed_in_source(str(const)))
-        sub = {'enum': [const]}
-        inner = self._v_enum({'enum': [const]}, dtype)
-
-        def mask(view, _inner=inner):
-            return _inner.mask_fn(view)
-        return self._simple(definition, 'const', mask, tail)
+        return self._simple(definition, rule, mask, tail)
 
     def _v_minLength(self, definition, dtype):
         n = definition['minLength']
@@ -525,8 +1247,7 @@ class VectorCompiler:
         tail = ' must be longer than or equal to {} characters'.format(n)
 
         def mask(view):
-            lens = pc.utf8_length(view.arr)
-            return _np_bool(pc.less(lens, n), view.n)
+            return _np_bool(pc.less(pc.utf8_length(view.arr), n), view.n)
         return self._simple(definition, 'minLength', mask, tail)
 
     def _v_maxLength(self, definition, dtype):
@@ -538,54 +1259,51 @@ class VectorCompiler:
         tail = ' must be shorter than or equal to {} characters'.format(n)
 
         def mask(view):
-            lens = pc.utf8_length(view.arr)
-            return _np_bool(pc.greater(lens, n), view.n)
+            return _np_bool(pc.greater(pc.utf8_length(view.arr), n), view.n)
         return self._simple(definition, 'maxLength', mask, tail)
 
-    def _compile_search_regex(self, pattern):
-        """Return (vectorized: bool, compiled) for a Python `re.search`
-        pattern with the reference's `$ -> \\Z` rewrite (draft04.py:283-290).
-        RE2-incompatible patterns use the Python kernel."""
-        fixed = _DOLLAR_FINDER.sub(r'\\Z', pattern)
-        if not _RE2_UNSUPPORTED.search(fixed):
+    def _regex_mask_rule(self, definition, rule, pattern, tail, match_mode):
+        """Build a regex rule: Arrow RE2 kernel when the pattern is in the
+        RE2-safe subset, else a Python-``re`` row kernel.
+
+        match_mode 'search': reference `pattern` semantics (re.search with
+        `$`→`\\Z` rewrite, draft04.py:283-290); 'match': `format` semantics
+        (re.match, draft04.py:328-333)."""
+        if match_mode == 'search':
+            py_pattern = _DOLLAR_FINDER.sub(r'\\Z', pattern)
+        else:
+            py_pattern = pattern
+        rx = re.compile(py_pattern)
+        re2_ok = not _RE2_UNSUPPORTED.search(py_pattern)
+        if re2_ok:
+            re2_pattern = py_pattern
+            if match_mode == 'match':
+                re2_pattern = '(?:' + re2_pattern + ')'
+                re2_pattern = '^' + re2_pattern
             try:
                 pc.match_substring_regex(pa.array([], type=pa.string()),
-                                         pattern=fixed)
-                return True, fixed
-            except pa.ArrowError:
-                pass
-        return False, re.compile(fixed)
+                                         pattern=re2_pattern)
+            except Exception:
+                re2_ok = False
+        if re2_ok:
+            def mask(view, _p=re2_pattern):
+                hit = pc.match_substring_regex(view.arr, pattern=_p)
+                fail = ~_np_bool(hit, view.n)
+                fail &= view.valid_mask()
+                return fail
+            return self._simple(definition, rule, mask, tail)
+        if match_mode == 'search':
+            return self._row_kernel(definition, rule,
+                                    lambda v: not rx.search(v), tail)
+        return self._row_kernel(definition, rule,
+                                lambda v: not rx.match(v), tail)
 
     def _v_pattern(self, definition, dtype):
         pattern = definition['pattern']
         if not _is_string(dtype):
             return None
-        tail = ' must match pattern ' + pattern
-        vectorized, compiled = self._compile_search_regex(pattern)
-        if vectorized:
-            def mask(view):
-                hit = pc.match_substring_regex(view.arr, pattern=compiled)
-                fail = ~_np_bool(hit, view.n)
-                fail &= view.valid_mask()
-                return fail
-            return self._simple(definition, 'pattern', mask, tail)
-        rx = compiled
-        return self._row_kernel(definition, 'pattern',
-                                lambda v: not rx.search(v), tail)
-
-    def _compile_match_regex(self, pattern):
-        """Anchored-at-start `re.match` semantics used by `format`
-        (draft04.py:328-333): RE2 path wraps the pattern in a group with a
-        leading anchor."""
-        if not _RE2_UNSUPPORTED.search(pattern):
-            anchored = '^(?:' + pattern + ')' if not pattern.startswith('^') else pattern
-            try:
-                pc.match_substring_regex(pa.array([], type=pa.string()),
-                                         pattern=anchored)
-                return True, anchored
-            except pa.ArrowError:
-                pass
-        return False, re.compile(pattern)
+        return self._regex_mask_rule(definition, 'pattern', pattern,
+                                     ' must match pattern ' + pattern, 'search')
 
     def _v_format(self, definition, dtype):
         if not self.scalar.use_formats:
@@ -594,39 +1312,18 @@ class VectorCompiler:
         if not _is_string(dtype):
             return None
         tail = ' must be ' + format_
-
         if format_ in self.scalar.custom_formats:
             custom = self.scalar.custom_formats[format_]
             if isinstance(custom, str):
-                vectorized, compiled = self._compile_match_regex(custom)
-                if vectorized:
-                    def mask(view):
-                        hit = pc.match_substring_regex(view.arr, pattern=compiled)
-                        fail = ~_np_bool(hit, view.n)
-                        fail &= view.valid_mask()
-                        return fail
-                    return self._simple(definition, 'format', mask, tail)
-                rx = compiled
-                return self._row_kernel(definition, 'format',
-                                        lambda v: not rx.match(v), tail)
+                return self._regex_mask_rule(definition, 'format', custom,
+                                             tail, 'match')
             fn = custom
             return self._row_kernel(definition, 'format',
                                     lambda v: not fn(v), tail)
-
         if format_ in self.format_regexs:
-            vectorized, compiled = self._compile_match_regex(
-                self.format_regexs[format_])
-            if vectorized:
-                def mask(view):
-                    hit = pc.match_substring_regex(view.arr, pattern=compiled)
-                    fail = ~_np_bool(hit, view.n)
-                    fail &= view.valid_mask()
-                    return fail
-                return self._simple(definition, 'format', mask, tail)
-            rx = compiled
-            return self._row_kernel(definition, 'format',
-                                    lambda v: not rx.match(v), tail)
-
+            return self._regex_mask_rule(
+                definition, 'format', self.format_regexs[format_], tail,
+                'match')
         if format_ == 'regex':
             def bad_regex(v):
                 try:
@@ -638,7 +1335,7 @@ class VectorCompiler:
                                     ' must be a valid regex')
         return None
 
-    def _bound_rule(self, definition, keyword, dtype, cmp_fail, tail):
+    def _bound_rule(self, definition, keyword, dtype, cmp_fail, tail_fmt):
         bound = definition[keyword]
         if not isinstance(bound, (int, float, Decimal)):
             article = ('an integer, a float or a decimal'
@@ -648,13 +1345,13 @@ class VectorCompiler:
         if not _is_number(dtype):
             return None
         runtime = float(str(bound)) if isinstance(bound, Decimal) else bound
+        tail = tail_fmt.format(bound)
 
         def mask(view):
-            res = cmp_fail(view.arr, runtime)
-            fail = _np_bool(res, view.n)
+            fail = _np_bool(cmp_fail(view.arr, runtime), view.n)
             fail &= view.valid_mask()
             return fail
-        return self._simple(definition, keyword, mask, tail.format(bound))
+        return self._simple(definition, keyword, mask, tail)
 
     def _v_minimum(self, definition, dtype):
         if definition.get('exclusiveMinimum', False):
@@ -666,7 +1363,8 @@ class VectorCompiler:
     def _v_maximum(self, definition, dtype):
         if definition.get('exclusiveMaximum', False):
             return self._bound_rule(definition, 'maximum', dtype,
-                                    pc.greater_equal, ' must be smaller than {}')
+                                    pc.greater_equal,
+                                    ' must be smaller than {}')
         return self._bound_rule(definition, 'maximum', dtype, pc.greater,
                                 ' must be smaller than or equal to {}')
 
@@ -692,41 +1390,30 @@ class VectorCompiler:
         use_decimal = isinstance(mo, float)
         mo_rt = float(str(mo)) if isinstance(mo, Decimal) else mo
 
-        if not use_decimal and pa.types.is_integer(dtype):
-            def mask(view):
-                rem = pc.subtract(
-                    view.arr, pc.multiply(pc.divide(view.arr, mo_rt), mo_rt))
-                fail = _np_bool(pc.not_equal(rem, 0), view.n)
-                fail &= view.valid_mask()
-                return fail
-            return self._simple(definition, 'multipleOf', mask, tail)
+        if not use_decimal and pa.types.is_integer(dtype) and mo_rt != 0:
+            mo_int = int(mo_rt)
+            if mo_int == mo_rt:
+                def mask(view):
+                    vals = np.asarray(view.arr.fill_null(0))
+                    fail = (vals % mo_int) != 0
+                    fail &= view.valid_mask()
+                    return fail
+                return self._simple(definition, 'multipleOf', mask, tail)
 
         if use_decimal:
-            # Decimal-exact per-row check (draft04.py:361-368): 19.01/0.01
-            # must be exactly 1901; no float kernel can guarantee this.
-            dec_mo = 'repr'
-
+            # Decimal-exact per-row check (draft04.py:357-371): 19.01/0.01
+            # must be exactly 1901; no float kernel can guarantee that.
             def fails(v):
                 quotient = Decimal(repr(v)) / Decimal(repr(mo_rt))
-                return int(quotient) != quotient
+                return int(quotient) != quotient or v / mo_rt == float('inf')
             return self._row_kernel(definition, 'multipleOf', fails, tail)
 
         def fails(v):
             quotient = v / mo_rt
-            return int(quotient) != quotient
+            return int(quotient) != quotient or v / mo_rt == float('inf')
         return self._row_kernel(definition, 'multipleOf', fails, tail)
 
-    # -- array keywords -------------------------------------------------
-
-    def _list_lengths(self, view):
-        lens = view._np_cache.get('list_len')
-        if lens is None:
-            raw = pc.list_value_length(view.arr)
-            if raw.null_count:
-                raw = raw.fill_null(0)
-            lens = np.asarray(raw).astype(np.int64)
-            view._np_cache['list_len'] = lens
-        return lens
+    # -- array keywords --------------------------------------------------
 
     def _v_minItems(self, definition, dtype):
         n = definition['minItems']
@@ -737,7 +1424,7 @@ class VectorCompiler:
         tail = ' must contain at least {} items'.format(n)
 
         def mask(view):
-            fail = self._list_lengths(view) < n
+            fail = view.list_lengths() < n
             fail &= view.valid_mask()
             return fail
         return self._simple(definition, 'minItems', mask, tail)
@@ -751,7 +1438,7 @@ class VectorCompiler:
         tail = ' must contain less than or equal to {} items'.format(n)
 
         def mask(view):
-            fail = self._list_lengths(view) > n
+            fail = view.list_lengths() > n
             fail &= view.valid_mask()
             return fail
         return self._simple(definition, 'maxItems', mask, tail)
@@ -767,40 +1454,41 @@ class VectorCompiler:
         if (_is_string(value_type) or _is_number(value_type)
                 or pa.types.is_boolean(value_type)):
             def mask(view):
-                lens = self._list_lengths(view)
-                if not lens.any():
+                lens = view.list_lengths()
+                total = int(lens.sum())
+                if total == 0:
                     return None
                 flat = pc.list_flatten(view.arr)
                 rows = np.repeat(np.arange(view.n, dtype=np.int64), lens)
-                if len(flat) == 0:
-                    return None
-                # Encode values as integer codes (equal value = equal code;
-                # nulls get their own code, None == None per reference).
+                # Integer codes: equal value ⇔ equal code; nulls share a
+                # code (None == None per the reference's freeze fn,
+                # draft04.py:412-419).
                 if _is_string(value_type):
-                    codes_arr = flat.dictionary_encode().indices
-                    codes = np.asarray(codes_arr.fill_null(-1)).astype(np.int64)
+                    codes = np.asarray(
+                        flat.dictionary_encode().indices.fill_null(-1)
+                    ).astype(np.int64)
+                elif pa.types.is_boolean(value_type):
+                    codes = np.asarray(
+                        flat.cast(pa.int8()).fill_null(-1)).astype(np.int64)
                 else:
                     vals = np.asarray(flat.cast(pa.float64()).fill_null(np.nan))
-                    uniq, codes = np.unique(vals, return_inverse=True)
-                    nullmask = ~np.asarray(
-                        flat.is_valid()) if flat.null_count else None
-                    if nullmask is not None:
-                        codes = codes.copy()
-                        codes[nullmask] = -1
+                    _, codes = np.unique(vals, return_inverse=True)
+                    codes = codes.astype(np.int64)
+                    if flat.null_count:
+                        codes[~np.asarray(flat.is_valid())] = -1
                 order = np.lexsort((codes, rows))
                 srows, scodes = rows[order], codes[order]
-                dup = np.zeros(len(flat), dtype=bool)
-                if len(flat) > 1:
+                dup = np.zeros(total, dtype=bool)
+                if total > 1:
                     dup[1:] = (srows[1:] == srows[:-1]) & (scodes[1:] == scodes[:-1])
-                fail = np.zeros(view.n, dtype=bool)
+                fail = _zeros(view.n)
                 if dup.any():
                     fail[np.unique(srows[dup])] = True
                 return fail
             return self._simple(definition, 'uniqueItems', mask, tail)
 
         def fails(v):
-            return isinstance(v, (list, tuple)) and \
-                len(v) > len({_freeze(x) for x in v})
+            return len(v) > len({_freeze(x) for x in v})
         return self._row_kernel(definition, 'uniqueItems', fails, tail)
 
     def _v_items(self, definition, dtype):
@@ -811,39 +1499,51 @@ class VectorCompiler:
             return None
         if items_definition is False:
             def mask(view):
-                fail = self._list_lengths(view) > 0
+                fail = view.list_lengths() > 0
                 fail &= view.valid_mask()
                 return fail
             return self._simple(definition, 'items', mask, ' must not be there')
         if isinstance(items_definition, list):
-            # Tuple schemas over homogeneous Arrow lists: per-index plans.
-            return TupleItemsRule(self, definition, dtype)
+            for d in items_definition:
+                if self.scalar.use_default and isinstance(d, dict) \
+                        and 'default' in d:
+                    raise Unsupported('tuple items defaults need scalar path')
+            plans = [self.compile_node(d, dtype.value_type)
+                     for d in items_definition]
+            additional = definition.get('additionalItems', _MISSING)
+            add_plan = None
+            if additional is not _MISSING and additional not in (False, True):
+                add_plan = self.compile_node(additional, dtype.value_type)
+            return TupleItemsRule(self._expand(definition), plans, additional,
+                                  add_plan)
         if not items_definition:
             return None
-        return ListItemsRule(self, definition, items_definition, dtype)
+        child = self.compile_node(items_definition, dtype.value_type)
+        return ListItemsRule(child)
 
     def _v_contains(self, definition, dtype):
-        contains_definition = definition['contains']
         if self.draft <= 4:
             return None
+        contains_definition = definition['contains']
         if not _is_list(dtype):
             return None
+        expanded = self._expand(definition)
         if contains_definition is False:
             def mask(view):
                 return view.valid_mask().copy()
-            return self._simple(definition, 'contains', mask, ' is always invalid')
+            return self._simple(definition, 'contains', mask,
+                                ' is always invalid')
         if contains_definition is True:
             def mask(view):
-                fail = self._list_lengths(view) == 0
+                fail = view.list_lengths() == 0
                 fail &= view.valid_mask()
                 return fail
-            return self._simple(definition, 'contains', mask, ' must not be empty')
-        return ContainsRule(self, definition, contains_definition, dtype)
+            return self._simple(definition, 'contains', mask,
+                                ' must not be empty')
+        child = self.compile_node(contains_definition, dtype.value_type)
+        return ContainsRule(child, expanded)
 
-    # -- object keywords (struct columns / root table) -------------------
-
-    def _struct_keys(self, dtype):
-        return [f.name for f in dtype]
+    # -- object keywords --------------------------------------------------
 
     def _v_minProperties(self, definition, dtype):
         n = definition['minProperties']
@@ -851,9 +1551,9 @@ class VectorCompiler:
             raise JsonSchemaDefinitionException('minProperties must be a number')
         if not pa.types.is_struct(dtype):
             return None
-        fails = dtype.num_fields < n
-        return ConstantRule('minProperties', self._expand(definition), fails,
-                            ' must contain at least {} properties'.format(n))
+        return ConstantRule(
+            'minProperties', self._expand(definition), dtype.num_fields < n,
+            ' must contain at least {} properties'.format(n))
 
     def _v_maxProperties(self, definition, dtype):
         n = definition['maxProperties']
@@ -861,16 +1561,17 @@ class VectorCompiler:
             raise JsonSchemaDefinitionException('maxProperties must be a number')
         if not pa.types.is_struct(dtype):
             return None
-        fails = dtype.num_fields > n
-        return ConstantRule('maxProperties', self._expand(definition), fails,
-                            ' must contain less than or equal to {} properties'.format(n))
+        return ConstantRule(
+            'maxProperties', self._expand(definition), dtype.num_fields > n,
+            ' must contain less than or equal to {} properties'.format(n))
 
     def _v_required(self, definition, dtype):
         required = definition['required']
         if not isinstance(required, (list, tuple)):
             raise JsonSchemaDefinitionException('required must be an array')
         if len(required) != len(set(required)):
-            raise JsonSchemaDefinitionException('required must contain unique elements')
+            raise JsonSchemaDefinitionException(
+                'required must contain unique elements')
         if not definition.get('additionalProperties', True):
             not_possible = [
                 prop for prop in required
@@ -880,11 +1581,11 @@ class VectorCompiler:
             ]
             if not_possible:
                 raise JsonSchemaDefinitionException(
-                    'data: items {} are required but not allowed'.format(not_possible))
+                    'data: items {} are required but not allowed'.format(
+                        not_possible))
         if not pa.types.is_struct(dtype):
             return None
-        present = set(self._struct_keys(dtype))
-        missing = sorted(set(required) - present)
+        missing = sorted(set(required) - {f.name for f in dtype})
         return ConstantRule(
             'required', self._expand(definition), bool(missing),
             ' must contain {} properties'.format(missing))
@@ -892,26 +1593,25 @@ class VectorCompiler:
     def _v_dependencies(self, definition, dtype):
         if not pa.types.is_struct(dtype):
             return None
-        present = set(self._struct_keys(dtype))
+        present = {f.name for f in dtype}
+        expanded = self._expand(definition)
         rules = []
         for key, values in definition['dependencies'].items():
             if values == [] or values is True or key not in present:
                 continue
             if values is False:
-                rules.append(ConstantRule(
-                    'dependencies', self._expand(definition), True,
-                    None))
-                rules[-1].message_tail = None
-                # message needs key prefix; use custom constant below
-                rules[-1] = _DependencyForbidRule(
-                    self._expand(definition), key)
+                rules.append(DependencyMessageRule(
+                    expanded,
+                    lambda name, _k=key: '{} in {} must not be there'.format(_k, name)))
             elif isinstance(values, list):
                 for dep in values:
                     if dep not in present:
-                        rules.append(_DependencyMissingRule(
-                            self._expand(definition), dep, key))
+                        rules.append(DependencyMessageRule(
+                            expanded,
+                            lambda name, _d=dep, _k=key:
+                            '{} missing dependency {} for {}'.format(name, _d, _k)))
             else:
-                rules.append(SubSchemaRule(self, values, dtype))
+                rules.append(SubSchemaRule(self.compile_node(values, dtype)))
         if not rules:
             return None
         return CompositeRule(rules)
@@ -919,26 +1619,82 @@ class VectorCompiler:
     def _v_properties(self, definition, dtype):
         if not pa.types.is_struct(dtype):
             return None
-        return PropertiesRule(self, definition, dtype)
+        names = {f.name: i for i, f in enumerate(dtype)}
+        fields = []
+        for key, prop_definition in definition['properties'].items():
+            if not isinstance(prop_definition, (dict, bool)):
+                raise JsonSchemaDefinitionException(
+                    'data[{}] must be object'.format(
+                        re.sub(r'($[^a-zA-Z]|[^a-zA-Z0-9])', '', key)))
+            if key in names:
+                self._path = self._path + (key,)
+                try:
+                    plan = self.compile_node(
+                        prop_definition, dtype.field(names[key]).type,
+                        content_ok=(len(self._path) == 1))
+                except Unsupported:
+                    if not self.allow_fallback_rules:
+                        raise
+                    # Per-column scalar fallback keeps the rest of the table
+                    # vectorized when one column's schema defeats the model.
+                    plan = NodePlan([self._fallback_rule(prop_definition)])
+                finally:
+                    self._path = self._path[:-1]
+                fields.append((key, names[key], plan))
+            elif self.scalar.use_default and isinstance(prop_definition, dict) \
+                    and 'default' in prop_definition:
+                # Column absent: default injection is a table-level
+                # transform handled by TableValidator before compilation.
+                raise Unsupported('missing column with default')
+        return StructChildrenRule('properties', fields)
 
     def _v_patternProperties(self, definition, dtype):
         if not pa.types.is_struct(dtype):
             return None
-        return PatternPropertiesRule(self, definition, dtype)
+        keys = [f.name for f in dtype]
+        names = {f.name: i for i, f in enumerate(dtype)}
+        fields = []
+        for pattern, sub_definition in definition['patternProperties'].items():
+            rx = re.compile(pattern)
+            for key in keys:
+                if rx.search(key):
+                    fields.append((key, names[key],
+                                   self.compile_node(sub_definition,
+                                                     dtype.field(names[key]).type)))
+        return StructChildrenRule('patternProperties', fields)
 
     def _v_additionalProperties(self, definition, dtype):
         if not pa.types.is_struct(dtype):
             return None
-        return AdditionalPropertiesRule(self, definition, dtype)
+        add = definition['additionalProperties']
+        keys = [f.name for f in dtype]
+        names = {f.name: i for i, f in enumerate(dtype)}
+        consumed = set(definition.get('properties', {}).keys())
+        for pattern in definition.get('patternProperties', {}):
+            rx = re.compile(pattern)
+            consumed |= {k for k in keys if rx.search(k)}
+        leftover = [k for k in keys if k not in consumed]
+        if add is True or add == {}:
+            return None
+        if add is False:
+            if not leftover:
+                return None
+            return ForbidExtraColumnsRule(self._expand(definition), leftover)
+        prop_keys = list(definition.get('properties', {}).keys())
+        fields = [
+            (k, names[k], self.compile_node(add, dtype.field(names[k]).type))
+            for k in leftover if k not in prop_keys
+        ]
+        return StructChildrenRule('additionalProperties', fields)
 
     def _v_propertyNames(self, definition, dtype):
-        names_definition = definition.get('propertyNames', {})
         if self.draft <= 4:
             return None
         if not pa.types.is_struct(dtype):
             return None
-        keys = self._struct_keys(dtype)
+        names_definition = definition.get('propertyNames', {})
         expanded = self._expand(definition)
+        keys = [f.name for f in dtype]
         if names_definition is True:
             return None
         if names_definition is False:
@@ -946,814 +1702,135 @@ class VectorCompiler:
                                 ' must not be there')
         if not keys:
             return None
-        # Field names are static: evaluate the name schema once at compile
-        # time with the interpreted validator.
+        # Field names are static → evaluate the name schema once at compile
+        # time with the interpreted validator.  Both modes are precomputed:
+        # fast-fail (does any key fail?) and the reference's collect-mode
+        # quirk (draft06.py:127-141) where per-key errors leak into the list
+        # and the propertyNames-level error never fires.
+        sentinel = '\x00NAME\x00'
         checker = ScalarCompiler(
             names_definition, draft=self.draft,
             use_formats=self.scalar.use_formats,
             formats=self.scalar.custom_formats).compile_root()
+        collector = ScalarCompiler(
+            names_definition, draft=self.draft, fast_fail=False,
+            use_formats=self.scalar.use_formats,
+            detailed_exceptions=self.scalar.detailed,
+            formats=self.scalar.custom_formats).compile_root()
         ok = True
+        leaked = []
+        from ..exceptions import JsonSchemaValuesException
         for key in keys:
             try:
                 checker(key)
             except JsonSchemaValueException:
                 ok = False
-            except Exception:
-                ok = False
-        return ConstantRule('propertyNames', expanded, not ok,
-                            ' must be named by propertyName definition')
+            try:
+                collector(key, sentinel)
+            except JsonSchemaValuesException as exc:
+                leaked.extend(exc.errors)
+        return PropertyNamesRule(expanded, ok, leaked, sentinel)
 
-    # -- composition ----------------------------------------------------
+    # -- composition -------------------------------------------------------
 
     def _v_allOf(self, definition, dtype):
-        subs = [SubSchemaRule(self, item, dtype) for item in definition['allOf']]
-        return CompositeRule(subs)
+        return CompositeRule([
+            SubSchemaRule(self.compile_node(item, dtype))
+            for item in definition['allOf']
+        ])
 
     def _v_anyOf(self, definition, dtype):
-        return AnyOfRule(self, definition, dtype)
+        return AnyOfRule([self.compile_node(i, dtype)
+                          for i in definition['anyOf']],
+                         self._expand(definition))
 
     def _v_oneOf(self, definition, dtype):
-        return OneOfRule(self, definition, dtype)
+        return OneOfRule([self.compile_node(i, dtype)
+                          for i in definition['oneOf']],
+                         self._expand(definition))
 
     def _v_not(self, definition, dtype):
-        return NotRule(self, definition, dtype)
+        nd = definition['not']
+        expanded = self._expand(definition)
+        if nd is True:
+            return NotRule(None, expanded, 'always')
+        if nd is False:
+            return None
+        if not nd:
+            return NotRule(None, expanded, 'always_disallowed')
+        return NotRule(self.compile_node(nd, dtype), expanded, 'schema')
 
     def _v_if(self, definition, dtype):
         if self.draft <= 6:
             return None
-        return IfThenElseRule(self, definition, dtype)
+        if_plan = self.compile_node(definition['if'], dtype)
+        then_plan = self.compile_node(definition['then'], dtype) \
+            if 'then' in definition else None
+        else_plan = self.compile_node(definition['else'], dtype) \
+            if 'else' in definition else None
+        return IfThenElseRule(if_plan, then_plan, else_plan)
 
-    # -- content transforms ---------------------------------------------
+    # -- content transforms ------------------------------------------------
 
     def _v_contentEncoding(self, definition, dtype):
-        # Transforms are handled at column level by TableValidator; inside a
-        # nested vector plan we cannot rebind values, so fall back.
-        raise Unsupported('contentEncoding inside vector plan')
+        if self.draft <= 6:
+            return None
+        if definition['contentEncoding'] != 'base64':
+            return None
+        if not self._content_ok_stack[-1] or not _is_string(dtype):
+            raise Unsupported('contentEncoding below column level')
+        site = ContentSiteRule('contentEncoding', self._expand(definition))
+        self.content_sites.append((self._path, 'contentEncoding',
+                                   definition, site))
+        return site
 
     def _v_contentMediaType(self, definition, dtype):
-        raise Unsupported('contentMediaType inside vector plan')
+        if self.draft <= 6:
+            return None
+        if definition['contentMediaType'] != 'application/json':
+            return None
+        if not self._content_ok_stack[-1] or not (
+                _is_string(dtype) or _is_binary(dtype)):
+            raise Unsupported('contentMediaType below column level')
+        site = ContentSiteRule('contentMediaType', self._expand(definition))
+        self.content_sites.append((self._path, 'contentMediaType',
+                                   definition, site))
+        return site
 
 
-class _DependencyForbidRule(Rule):
-    def __init__(self, definition, key):
-        super().__init__()
-        self.definition = definition
-        self.key = key
-
-    def evaluate(self, view, collect):
-        fail = view.valid_mask().copy()
-        if not fail.any():
-            return NodeResult(None, [])
-        idx = np.nonzero(fail)[0].astype(np.int64)
-        key = np.full(len(idx), self.offset, dtype=np.int64)
-        dep_key = self.key
-
-        def messages(v, i):
-            return ['{} in {} must not be there'.format(dep_key, v.name_fn(j))
-                    for j in i]
-        return NodeResult(fail, [Emit(idx, key, 'dependencies',
-                                      self.definition, messages)])
+# ---------------------------------------------------------------------------
+# Violation collection
 
 
-class _DependencyMissingRule(Rule):
-    def __init__(self, definition, dep, key):
-        super().__init__()
-        self.definition = definition
-        self.dep = dep
-        self.key = key
+def collect_violations(result: NodeResult, n_rows: int, fast_fail: bool):
+    """Turn a root NodeResult into per-row first/all violation records.
 
-    def evaluate(self, view, collect):
-        fail = view.valid_mask().copy()
-        if not fail.any():
-            return NodeResult(None, [])
-        idx = np.nonzero(fail)[0].astype(np.int64)
-        key = np.full(len(idx), self.offset, dtype=np.int64)
-        dep, kk = self.dep, self.key
-
-        def messages(v, i):
-            return ['{} missing dependency {} for {}'.format(v.name_fn(j), dep, kk)
-                    for j in i]
-        return NodeResult(fail, [Emit(idx, key, 'dependencies',
-                                      self.definition, messages)])
-
-
-class CompositeRule(Rule):
-    """Sequence of sub-rules sharing this slot range (allOf, dependencies)."""
-
-    def __init__(self, rules):
-        super().__init__()
-        self.rules = rules
-        offset = 0
-        for r in rules:
-            r._rel = offset
-            offset += r.span
-        self.span = max(offset, 1)
-
-    @property
-    def offset(self):
-        return self._offset
-
-    @offset.setter
-    def offset(self, value):
-        self._offset = value
-        for r in self.rules:
-            r.offset = value + r._rel
-
-    def evaluate(self, view, collect):
-        fail = None
-        emits = []
-        for r in self.rules:
-            res = r.evaluate(view, collect)
-            fail = _or(fail, res.fail)
-            emits.extend(res.emits)
-        return NodeResult(fail, emits)
-
-
-class SubSchemaRule(Rule):
-    """A nested full schema evaluated on the same view (allOf items,
-    dependency schemas)."""
-
-    def __init__(self, compiler, definition, dtype):
-        super().__init__()
-        self.plan = compiler.compile_node(definition, dtype)
-        self.span = self.plan.span
-
-    @property
-    def offset(self):
-        return self._offset
-
-    @offset.setter
-    def offset(self, value):
-        self._offset = value
-        base = value
-        for r in self.plan.rules:
-            r.offset = base + r._abs_offset if hasattr(r, '_abs_offset') else r.offset
-        # Re-assign plan rule offsets relative to our slot.
-        off = value
-        for r in self.plan.rules:
-            r.offset = off
-            off += r.span
-
-    def evaluate(self, view, collect):
-        return self.plan.evaluate(view, collect)
-
-
-class _MaskOnly:
-    """Evaluates a plan but discards emits (suppressed branches)."""
-
-    @staticmethod
-    def fail_mask(plan, view, collect):
-        res = plan.evaluate(view, collect)
-        if res.fail is None:
-            return np.zeros(view.n, dtype=bool)
-        return res.fail
-
-
-class AnyOfRule(Rule):
-    def __init__(self, compiler, definition, dtype):
-        super().__init__()
-        self.plans = [compiler.compile_node(item, dtype)
-                      for item in definition['anyOf']]
-        self.definition = compiler._expand(definition)
-        self.has_branches = bool(self.plans)
-
-    def evaluate(self, view, collect):
-        if collect:
-            # Reference collect-mode quirk (generator.py:273-295 + anyOf
-            # try/except): branches append their errors and always count as
-            # passing, so sub-violations surface and the anyOf-level error
-            # fires only with zero branches.
-            fail = None
-            emits = []
-            for p in self.plans:
-                res = p.evaluate(view, collect)
-                emits.extend(res.emits)
-            if self.has_branches:
-                return NodeResult(None, emits)
-            all_fail = np.ones(view.n, dtype=bool)
-            emits.append(self._own_emit(view, all_fail))
-            return NodeResult(all_fail, emits)
-        ok = np.zeros(view.n, dtype=bool)
-        for p in self.plans:
-            ok |= ~_MaskOnly.fail_mask(p, view, collect)
-            if ok.all():
-                break
-        fail = ~ok
-        if not fail.any():
-            return NodeResult(None, [])
-        return NodeResult(fail, [self._own_emit(view, fail)])
-
-    def _own_emit(self, view, fail):
-        idx = np.nonzero(fail)[0].astype(np.int64)
-        key = np.full(len(idx), self.offset, dtype=np.int64)
-
-        def messages(v, i):
-            return [v.name_fn(j) + ' cannot be validated by any definition'
-                    for j in i]
-        return Emit(idx, key, 'anyOf', self.definition, messages)
-
-
-class OneOfRule(Rule):
-    def __init__(self, compiler, definition, dtype):
-        super().__init__()
-        self.plans = [compiler.compile_node(item, dtype)
-                      for item in definition['oneOf']]
-        self.definition = compiler._expand(definition)
-
-    def evaluate(self, view, collect):
-        if collect:
-            # Collect-mode quirk: every branch "passes", so count ==
-            # min(len(plans), 2) for every row.
-            emits = []
-            for p in self.plans:
-                emits.extend(p.evaluate(view, collect).emits)
-            count = min(len(self.plans), 2)
-            if count == 1:
-                return NodeResult(None, emits)
-            fail = np.ones(view.n, dtype=bool)
-            counts = np.full(view.n, count, dtype=np.int64)
-            emits.append(self._own_emit(view, fail, counts))
-            return NodeResult(fail, emits)
-        counts = np.zeros(view.n, dtype=np.int64)
-        for p in self.plans:
-            active = counts < 2
-            branch_ok = ~_MaskOnly.fail_mask(p, view, collect)
-            counts += (active & branch_ok).astype(np.int64)
-        fail = counts != 1
-        if not fail.any():
-            return NodeResult(None, [])
-        return NodeResult(fail, [self._own_emit(view, fail, counts)])
-
-    def _own_emit(self, view, fail, counts):
-        idx = np.nonzero(fail)[0].astype(np.int64)
-        key = np.full(len(idx), self.offset, dtype=np.int64)
-
-        def messages(v, i, _c=counts):
-            return [
-                '{} must be valid exactly by one definition ({} matches found)'
-                .format(v.name_fn(j), int(_c[j])) for j in i
-            ]
-        return Emit(idx, key, 'oneOf', self.definition, messages)
-
-
-class NotRule(Rule):
-    def __init__(self, compiler, definition, dtype):
-        super().__init__()
-        self.definition = compiler._expand(definition)
-        nd = definition['not']
-        self.mode = 'schema'
-        if nd is True:
-            self.mode = 'always'
-        elif nd is False:
-            self.mode = 'never'
-        elif not nd:
-            self.mode = 'always_disallowed'
-        else:
-            self.plan = compiler.compile_node(nd, dtype)
-
-    def evaluate(self, view, collect):
-        if self.mode == 'never':
-            return NodeResult(None, [])
-        if self.mode == 'always':
-            fail = np.ones(view.n, dtype=bool)
-            return NodeResult(fail, [self._own_emit(view, fail, ' must not be there')])
-        if self.mode == 'always_disallowed':
-            fail = np.ones(view.n, dtype=bool)
-            return NodeResult(fail, [self._own_emit(
-                view, fail, ' must NOT match a disallowed definition')])
-        if collect:
-            # Collect-mode quirk: sub never raises, so `not` always fails,
-            # and sub-errors leak into the list first.
-            emits = list(self.plan.evaluate(view, collect).emits)
-            fail = np.ones(view.n, dtype=bool)
-            emits.append(self._own_emit(
-                view, fail, ' must NOT match a disallowed definition'))
-            return NodeResult(fail, emits)
-        sub_fail = _MaskOnly.fail_mask(self.plan, view, collect)
-        fail = ~sub_fail
-        if not fail.any():
-            return NodeResult(None, [])
-        return NodeResult(fail, [self._own_emit(
-            view, fail, ' must NOT match a disallowed definition')])
-
-    def _own_emit(self, view, fail, tail):
-        idx = np.nonzero(fail)[0].astype(np.int64)
-        key = np.full(len(idx), self.offset, dtype=np.int64)
-
-        def messages(v, i, _tail=tail):
-            return [v.name_fn(j) + _tail for j in i]
-        return Emit(idx, key, 'not', self.definition, messages)
-
-
-class IfThenElseRule(Rule):
-    def __init__(self, compiler, definition, dtype):
-        super().__init__()
-        self.if_plan = compiler.compile_node(definition['if'], dtype)
-        self.then_plan = (compiler.compile_node(definition['then'], dtype)
-                          if 'then' in definition else None)
-        self.else_plan = (compiler.compile_node(definition['else'], dtype)
-                          if 'else' in definition else None)
-        then_span = self.then_plan.span if self.then_plan else 0
-        else_span = self.else_plan.span if self.else_plan else 0
-        self.span = max(then_span + else_span, 1)
-        self._then_rel = 0
-        self._else_rel = then_span
-
-    @property
-    def offset(self):
-        return self._offset
-
-    @offset.setter
-    def offset(self, value):
-        self._offset = value
-        off = value
-        if self.then_plan:
-            for r in self.then_plan.rules:
-                r.offset = off
-                off += r.span
-        if self.else_plan:
-            for r in self.else_plan.rules:
-                r.offset = off
-                off += r.span
-
-    def evaluate(self, view, collect):
-        if collect:
-            # Collect-mode quirk: the `if` branch appends its errors and
-            # never raises, so `then` always runs and `else` never does.
-            emits = list(self.if_plan.evaluate(view, collect).emits)
-            fail = None
-            if self.then_plan:
-                res = self.then_plan.evaluate(view, collect)
-                fail = _or(fail, res.fail)
-                emits.extend(res.emits)
-            return NodeResult(fail, emits)
-        cond_fail = _MaskOnly.fail_mask(self.if_plan, view, collect)
-        fail = None
-        emits = []
-        if self.then_plan:
-            res = self.then_plan.evaluate(view, collect)
-            if res.fail is not None:
-                branch_fail = res.fail & ~cond_fail
-                fail = _or(fail, branch_fail)
-                for e in res.emits:
-                    keep = ~cond_fail[e.idx]
-                    emits.append(Emit(e.idx[keep], e.key[keep], e.rule,
-                                      e.definition, e.messages,
-                                      e.values_override))
-        if self.else_plan:
-            res = self.else_plan.evaluate(view, collect)
-            if res.fail is not None:
-                branch_fail = res.fail & cond_fail
-                fail = _or(fail, branch_fail)
-                for e in res.emits:
-                    keep = cond_fail[e.idx]
-                    emits.append(Emit(e.idx[keep], e.key[keep], e.rule,
-                                      e.definition, e.messages,
-                                      e.values_override))
-        return NodeResult(fail, emits)
-
-
-class ListItemsRule(Rule):
-    """Homogeneous ``items`` schema over list columns: flatten, evaluate the
-    child plan on the flattened view, roll failures back up via offsets."""
-
-    def __init__(self, compiler, definition, items_definition, dtype):
-        super().__init__()
-        self.child = compiler.compile_node(items_definition, dtype.value_type)
-        self.span = self.child.span
-        self.compiler = compiler
-
-    def evaluate(self, view, collect):
-        lens = self.compiler._list_lengths(view)
-        total = int(lens.sum())
-        if total == 0:
-            return NodeResult(None, [])
-        flat = pc.list_flatten(view.arr)
-        parents = np.repeat(np.arange(view.n, dtype=np.int64), lens)
-        positions = np.arange(total, dtype=np.int64) - np.repeat(
-            np.cumsum(lens) - lens, lens)
-        parent_name = view.name_fn
-
-        def name_fn(i):
-            return '{}[{}]'.format(parent_name(int(parents[i])), int(positions[i]))
-
-        child_view = View(flat, view.root_rows[parents], name_fn)
-        res = self.child.evaluate(child_view, collect)
-        if res.fail is None and not res.emits:
-            return NodeResult(None, [])
-        fail = np.zeros(view.n, dtype=bool)
-        if res.fail is not None and res.fail.any():
-            fail[np.unique(parents[res.fail])] = True
-        emits = []
-        span = self.span
-        base = self.offset
-        for e in res.emits:
-            # Element-major ordering: earlier positions outrank later rules.
-            new_key = base + positions[e.idx] * span + (e.key - base_child(e, self))
-            emits.append(_rebased_emit(e, child_view, parents, new_key))
-        return NodeResult(fail, emits)
-
-
-def base_child(e, rule):
-    # Child emit keys were assigned offsets starting at rule.offset (the
-    # parent assigns child rule offsets from its own offset); normalize to a
-    # 0-based relative key.
-    return rule.offset
-
-
-def _rebased_emit(e, child_view, parents, new_key):
-    """Wrap a child emit so message/value generation keeps using the child
-    view while indices remain child-local (idx unchanged) but the emit's
-    order keys are parent-level."""
-    cv = child_view
-
-    def messages(v, i, _e=e):
-        return _e.messages(cv, i)
-
-    def values(v, i, _e=e):
-        if _e.values_override is not None:
-            return _e.values_override(cv, i)
-        return cv.values_at(i)
-
-    out = Emit(e.idx, new_key, e.rule, e.definition, messages, values)
-    out._child_view = cv            # keep alive
-    out._parents = parents          # map child idx -> parent idx at collection
-    return out
-
-
-class TupleItemsRule(Rule):
-    """Tuple-form ``items`` (+ additionalItems) over a homogeneous Arrow list
-    column: each index gets its own sub-plan over the element at that
-    position."""
-
-    def __init__(self, compiler, definition, dtype):
-        super().__init__()
-        self.compiler = compiler
-        items = definition['items']
-        vt = dtype.value_type
-        self.defn = compiler._expand(definition)
-        self.plans = [compiler.compile_node(d, vt) for d in items]
-        for d in items:
-            if compiler.scalar.use_default and isinstance(d, dict) and 'default' in d:
-                raise Unsupported('tuple items defaults need the scalar path')
-        self.n_tuple = len(items)
-        self.additional = definition.get('additionalItems', _MISSING)
-        self.add_plan = None
-        if self.additional is not _MISSING and self.additional is not False \
-                and self.additional is not True:
-            self.add_plan = compiler.compile_node(self.additional, vt)
-        spans = [p.span for p in self.plans]
-        self.span = sum(spans) + 1 + (self.add_plan.span if self.add_plan else 0)
-        self._spans = spans
-
-    @property
-    def offset(self):
-        return self._offset
-
-    @offset.setter
-    def offset(self, value):
-        self._offset = value
-        off = value
-        for p in self.plans:
-            for r in p.rules:
-                r.offset = off
-                off += r.span
-        self._extra_off = off
-        off += 1
-        if self.add_plan:
-            for r in self.add_plan.rules:
-                r.offset = off
-                off += r.span
-
-    def evaluate(self, view, collect):
-        lens = self.compiler._list_lengths(view)
-        total = int(lens.sum())
-        flat = pc.list_flatten(view.arr) if total else None
-        starts = np.cumsum(lens) - lens
-        fail = None
-        emits = []
-        parent_name = view.name_fn
-        for pos, plan in enumerate(self.plans):
-            has = lens > pos
-            if not has.any():
+    Returns (valid_mask, records) where records is a list of
+    ``(row, name, message, rule, definition, value)`` sorted by
+    (row, order key, emit order) — i.e. document-traversal order."""
+    valid = np.ones(n_rows, dtype=bool)
+    if result.fail is not None:
+        valid &= ~result.fail
+    entries = []
+    if fast_fail:
+        minkey = np.full(n_rows, MAXKEY, dtype=np.int64)
+        for e in result.emits:
+            if len(e.rows):
+                np.minimum.at(minkey, e.rows, e.key)
+        seen = np.zeros(n_rows, dtype=bool)
+        for e in result.emits:
+            if not len(e.rows):
                 continue
-            rows = np.nonzero(has)[0].astype(np.int64)
-            elem_idx = starts[rows] + pos
-            sub_arr = flat.take(pa.array(elem_idx, type=pa.int64()))
-
-            def name_fn(i, _rows=rows, _pos=pos):
-                return '{}[{}]'.format(parent_name(int(_rows[i])), _pos)
-
-            sub_view = View(sub_arr, view.root_rows[rows], name_fn)
-            res = plan.evaluate(sub_view, collect)
-            if res.fail is not None and res.fail.any():
-                f = np.zeros(view.n, dtype=bool)
-                f[rows[res.fail]] = True
-                fail = _or(fail, f)
-            for e in res.emits:
-                emits.append(_tuple_emit(e, sub_view, rows))
-        if self.additional is False:
-            over = lens > self.n_tuple
-            over &= view.valid_mask()
-            if over.any():
-                idx = np.nonzero(over)[0].astype(np.int64)
-                key = np.full(len(idx), self._extra_off, dtype=np.int64)
-
-                def messages(v, i):
-                    return [v.name_fn(j) + ' must contain only specified items'
-                            for j in i]
-                emits.append(Emit(idx, key, 'items', self.defn, messages))
-                fail = _or(fail, over)
-        elif self.add_plan is not None:
-            extra = lens - self.n_tuple
-            extra[extra < 0] = 0
-            tot_extra = int(extra.sum())
-            if tot_extra:
-                rows = np.repeat(np.arange(view.n, dtype=np.int64), extra)
-                pos_in_row = (np.arange(tot_extra, dtype=np.int64)
-                              - np.repeat(np.cumsum(extra) - extra, extra)
-                              + self.n_tuple)
-                elem_idx = starts[rows] + pos_in_row
-                sub_arr = flat.take(pa.array(elem_idx, type=pa.int64()))
-
-                def name_fn(i, _rows=rows, _pos=pos_in_row):
-                    return '{}[{}]'.format(parent_name(int(_rows[i])), int(_pos[i]))
-
-                sub_view = View(sub_arr, view.root_rows[rows], name_fn)
-                res = self.add_plan.evaluate(sub_view, collect)
-                if res.fail is not None and res.fail.any():
-                    f = np.zeros(view.n, dtype=bool)
-                    f[np.unique(rows[res.fail])] = True
-                    fail = _or(fail, f)
-                for e in res.emits:
-                    base = self._extra_off + 1
-                    new_key = base + pos_in_row[e.idx] * self.add_plan.span \
-                        + (e.key - base)
-                    emits.append(_tuple_emit(e, sub_view, rows, new_key))
-        return NodeResult(fail, emits)
-
-
-def _tuple_emit(e, sub_view, rows, new_key=None):
-    sv = sub_view
-
-    def messages(v, i, _e=e):
-        return _e.messages(sv, i)
-
-    def values(v, i, _e=e):
-        if _e.values_override is not None:
-            return _e.values_override(sv, i)
-        return sv.values_at(i)
-
-    out = Emit(e.idx, e.key if new_key is None else new_key, e.rule,
-               e.definition, messages, values)
-    out._child_view = sv
-    out._parents = rows
-    return out
-
-
-class ContainsRule(Rule):
-    def __init__(self, compiler, definition, contains_definition, dtype):
-        super().__init__()
-        self.compiler = compiler
-        self.definition = compiler._expand(definition)
-        self.child = compiler.compile_node(contains_definition, dtype.value_type)
-
-    def evaluate(self, view, collect):
-        lens = self.compiler._list_lengths(view)
-        total = int(lens.sum())
-        any_ok = np.zeros(view.n, dtype=bool)
-        if total:
-            flat = pc.list_flatten(view.arr)
-            parents = np.repeat(np.arange(view.n, dtype=np.int64), lens)
-            child_view = View(flat, view.root_rows[parents], lambda i: 'x')
-            child_fail = _MaskOnly.fail_mask(self.child, child_view, False)
-            ok_parents = parents[~child_fail]
-            if len(ok_parents):
-                any_ok[np.unique(ok_parents)] = True
-        fail = ~any_ok
-        fail &= view.valid_mask()
-        if not fail.any():
-            return NodeResult(None, [])
-        idx = np.nonzero(fail)[0].astype(np.int64)
-        key = np.full(len(idx), self.offset, dtype=np.int64)
-
-        def messages(v, i):
-            return [v.name_fn(j) + ' must contain one of contains definition'
-                    for j in i]
-        return NodeResult(fail, [Emit(idx, key, 'contains',
-                                      self.definition, messages)])
-
-
-class PropertiesRule(Rule):
-    """``properties`` over a struct: per-field sub-plans. Field access is
-    zero-copy (``StructArray.field``); child checks are masked where the
-    parent struct row is null (the document value is not a dict there)."""
-
-    def __init__(self, compiler, definition, dtype):
-        super().__init__()
-        self.fields = []
-        names = {f.name: i for i, f in enumerate(dtype)}
-        for key, prop_definition in definition['properties'].items():
-            if not isinstance(prop_definition, (dict, bool)):
-                raise JsonSchemaDefinitionException(
-                    'data[{}] must be object'.format(
-                        re.sub(r'($[^a-zA-Z]|[^a-zA-Z0-9])', '', key)))
-            if key in names:
-                plan = compiler.compile_node(
-                    prop_definition, dtype.field(names[key]).type)
-                self.fields.append((key, names[key], plan))
-            else:
-                if compiler.scalar.use_default and isinstance(prop_definition, dict) \
-                        and 'default' in prop_definition:
-                    raise Unsupported('nested defaults need the scalar path')
-                # Key absent from the struct: nothing to validate (presence
-                # is `required`'s business).
-        spans = [p.span for _, _, p in self.fields]
-        self.span = max(sum(spans), 1)
-
-    @property
-    def offset(self):
-        return self._offset
-
-    @offset.setter
-    def offset(self, value):
-        self._offset = value
-        off = value
-        for _, _, plan in self.fields:
-            for r in plan.rules:
-                r.offset = off
-                off += r.span
-
-    def evaluate(self, view, collect):
-        if not self.fields:
-            return NodeResult(None, [])
-        arr = view.arr
-        parent_valid = view.valid_mask()
-        parent_name = view.name_fn
-        fail = None
-        emits = []
-        for key, field_idx, plan in self.fields:
-            child = arr.field(field_idx)
-
-            def name_fn(i, _key=key):
-                return '{}.{}'.format(parent_name(int(i)), _key)
-
-            child_view = View(child, view.root_rows, name_fn)
-            res = plan.evaluate(child_view, collect)
-            if res.fail is None and not res.emits:
-                continue
-            if res.fail is not None:
-                f = res.fail & parent_valid
-                fail = _or(fail, f)
-            for e in res.emits:
-                keep = parent_valid[_emit_parent_idx(e)]
-                emits.append(_filter_emit(e, keep))
-        return NodeResult(fail, emits)
-
-
-def _emit_parent_idx(e):
-    """Map an emit's (possibly child-level) indices to this view's rows."""
-    if hasattr(e, '_parents'):
-        return e._parents[e.idx]
-    return e.idx
-
-
-def _filter_emit(e, keep):
-    if keep.all():
-        return e
-    out = Emit(e.idx[keep], e.key[keep], e.rule, e.definition,
-               e.messages, e.values_override)
-    for attr in ('_child_view', '_parents'):
-        if hasattr(e, attr):
-            setattr(out, attr, getattr(e, attr))
-    return out
-
-
-class PatternPropertiesRule(Rule):
-    def __init__(self, compiler, definition, dtype):
-        super().__init__()
-        self.inner = []
-        keys = [f.name for f in dtype]
-        names = {f.name: i for i, f in enumerate(dtype)}
-        for pattern, sub_definition in definition['patternProperties'].items():
-            rx = re.compile(pattern)
-            for key in keys:
-                if rx.search(key):
-                    plan = compiler.compile_node(
-                        sub_definition, dtype.field(names[key]).type)
-                    self.inner.append((key, names[key], plan))
-        self.span = max(sum(p.span for _, _, p in self.inner), 1)
-
-    @property
-    def offset(self):
-        return self._offset
-
-    @offset.setter
-    def offset(self, value):
-        self._offset = value
-        off = value
-        for _, _, plan in self.inner:
-            for r in plan.rules:
-                r.offset = off
-                off += r.span
-
-    def evaluate(self, view, collect):
-        if not self.inner:
-            return NodeResult(None, [])
-        parent_valid = view.valid_mask()
-        parent_name = view.name_fn
-        fail = None
-        emits = []
-        for key, field_idx, plan in self.inner:
-            child = view.arr.field(field_idx)
-
-            def name_fn(i, _key=key):
-                return '{}.{}'.format(parent_name(int(i)), _key)
-
-            child_view = View(child, view.root_rows, name_fn)
-            res = plan.evaluate(child_view, collect)
-            if res.fail is not None:
-                fail = _or(fail, res.fail & parent_valid)
-            for e in res.emits:
-                keep = parent_valid[_emit_parent_idx(e)]
-                emits.append(_filter_emit(e, keep))
-        return NodeResult(fail, emits)
-
-
-class AdditionalPropertiesRule(Rule):
-    def __init__(self, compiler, definition, dtype):
-        super().__init__()
-        add = definition['additionalProperties']
-        self.definition = compiler._expand(definition)
-        keys = [f.name for f in dtype]
-        consumed = set(definition.get('properties', {}).keys())
-        for pattern in definition.get('patternProperties', {}):
-            rx = re.compile(pattern)
-            consumed |= {k for k in keys if rx.search(k)}
-        self.leftover = [k for k in keys if k not in consumed]
-        self.mode = 'noop'
-        self.plans = []
-        if add is True or add == {}:
-            return
-        if add is False:
-            self.mode = 'forbid' if self.leftover else 'noop'
-        else:
-            self.mode = 'validate'
-            names = {f.name: i for i, f in enumerate(dtype)}
-            prop_keys = list(definition.get('properties', {}).keys())
-            # Reference semantics: additionalProperties validates keys left
-            # in the keys-set (i.e. not matched by properties/pattern) that
-            # are also not declared in `properties` (draft04.py:619-628).
-            for k in self.leftover:
-                if k not in prop_keys:
-                    self.plans.append(
-                        (k, names[k], compiler.compile_node(add, dtype.field(names[k]).type)))
-        self.span = max(sum(p.span for _, _, p in self.plans), 1)
-
-    @property
-    def offset(self):
-        return self._offset
-
-    @offset.setter
-    def offset(self, value):
-        self._offset = value
-        off = value
-        for _, _, plan in self.plans:
-            for r in plan.rules:
-                r.offset = off
-                off += r.span
-
-    def evaluate(self, view, collect):
-        if self.mode == 'noop':
-            return NodeResult(None, [])
-        parent_valid = view.valid_mask()
-        if self.mode == 'forbid':
-            fail = parent_valid.copy()
-            if not fail.any():
-                return NodeResult(None, [])
-            idx = np.nonzero(fail)[0].astype(np.int64)
-            key = np.full(len(idx), self.offset, dtype=np.int64)
-            leftover_set = set(self.leftover)
-
-            def messages(v, i):
-                return ['{} must not contain {} properties'.format(
-                    v.name_fn(j), leftover_set) for j in i]
-            return NodeResult(fail, [Emit(idx, key, 'additionalProperties',
-                                          self.definition, messages)])
-        parent_name = view.name_fn
-        fail = None
-        emits = []
-        for k, field_idx, plan in self.plans:
-            child = view.arr.field(field_idx)
-
-            def name_fn(i, _key=k):
-                return '{}.{}'.format(parent_name(int(i)), _key)
-
-            child_view = View(child, view.root_rows, name_fn)
-            res = plan.evaluate(child_view, collect)
-            if res.fail is not None:
-                fail = _or(fail, res.fail & parent_valid)
-            for e in res.emits:
-                keep = parent_valid[_emit_parent_idx(e)]
-                emits.append(_filter_emit(e, keep))
-        return NodeResult(fail, emits)
+            keep = (e.key == minkey[e.rows]) & ~seen[e.rows]
+            if keep.any():
+                seen[e.rows[keep]] = True
+                entries.append((e.filtered(keep)))
+    else:
+        entries = [e for e in result.emits if len(e.rows)]
+    records = []
+    for order, e in enumerate(entries):
+        recs = e.records(e.sel)
+        for i in range(len(e.rows)):
+            records.append((int(e.rows[i]), int(e.key[i]), order, recs[i]))
+    records.sort(key=lambda r: (r[0], r[1], r[2]))
+    return valid, [(row, rec) for row, _k, _o, rec in records]

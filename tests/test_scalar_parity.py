@@ -25,8 +25,13 @@ def outcome(compile_fn, schema, value, **kwargs):
     try:
         result = validator(copy.deepcopy(value))
         return ('ok', result)
-    except ValueError as exc:
+    except Exception as exc:
         kind = type(exc).__name__
+        if not isinstance(exc, ValueError):
+            # Both sides crash identically on reference quirks like
+            # Decimal(repr(False)) for multipleOf on bools — compare the
+            # crash type rather than erroring the harness.
+            return ('crash', kind)
         if kind == 'JsonSchemaValueException':
             return ('violation', exc.message, exc.value, exc.name, exc.rule,
                     exc.definition, exc.rule_definition,
