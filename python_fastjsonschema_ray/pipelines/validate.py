@@ -358,8 +358,15 @@ def validate_dataset(ds, definition, *, mode='annotate', key_column=None,
         [pa.field(n, t) for n, t in
          zip(ds.schema().names, ds.schema().types)])
     kwargs = {}
-    if concurrency is not None:
-        kwargs['concurrency'] = concurrency
+    # A callable class needs an actor pool; size it explicitly (Ray requires
+    # concurrency for class-based map_batches). Default to half the cluster
+    # CPUs so read/write tasks keep scheduling room — a pool that reserves
+    # every CPU deadlocks the streaming executor.
+    if concurrency is None:
+        import ray
+        total = int(ray.cluster_resources().get('CPU', 2))
+        concurrency = max(1, total // 2)
+    kwargs['concurrency'] = concurrency
     if batch_size is not None:
         kwargs['batch_size'] = batch_size
     return ds.map_batches(
