@@ -1,0 +1,345 @@
+"""Engine-level table constraints (no reference counterpart — specified by
+the north rule): per-column stats with mergeable sketches, uniqueness,
+referential integrity, and distribution-drift checks.
+
+Scale notes (designed for 100 TB / multi-node, tested single-node):
+
+* **Stats** are partial-per-block: each batch folds into count/null/min/max/
+  sum + HLL + t-digest locally and emits ONE tiny partial row per (batch,
+  column); the driver merges the handful of partials.  No shuffle at all.
+* **Uniqueness** pre-aggregates (key → local count) inside each batch before
+  the ``groupby`` so the all-to-all exchange moves at most one row per
+  distinct key per block, not one per input row.  The hash partitioning key
+  is the checked key itself — uniform for id-like keys; salt upstream if a
+  hot key is expected.
+* **Referential** broadcasts the reference key set via ``ray.put`` once and
+  anti-filters inside ``map_batches`` — no shuffle join for dimension-sized
+  reference sides (the common case).  For a large reference side, use
+  ``check_referential_large`` (hash-bucketed anti join).
+* **Drift** uses fixed, driver-chosen bin edges so per-batch histograms are
+  mergeable by vector addition; KS and PSI are computed on the merged
+  profiles.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..state.sketches import HyperLogLog, TDigest, hash64_array
+
+
+# ---------------------------------------------------------------------------
+# Column statistics (count / null / min / max / sum / HLL distinct / t-digest)
+
+
+class ColumnStatsStage:
+    """map_batches stage: one partial-stats row per column per batch."""
+
+    def __init__(self, columns, hll_p=14, tdigest_compression=200):
+        self.columns = columns
+        self.hll_p = hll_p
+        self.compression = tdigest_compression
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in
+                ('column', 'count', 'nulls', 'min', 'max', 'sum',
+                 'hll', 'tdigest')}
+        for col in self.columns:
+            arr = batch.column(col).combine_chunks()
+            n = len(arr)
+            nulls = arr.null_count
+            rows['column'].append(col)
+            rows['count'].append(n)
+            rows['nulls'].append(nulls)
+            is_num = (pa.types.is_integer(arr.type)
+                      or pa.types.is_floating(arr.type))
+            if n > nulls:
+                mn = pc.min(arr).as_py()
+                mx = pc.max(arr).as_py()
+                rows['min'].append(str(mn))
+                rows['max'].append(str(mx))
+                rows['sum'].append(
+                    float(pc.sum(arr).as_py()) if is_num else None)
+            else:
+                rows['min'].append(None)
+                rows['max'].append(None)
+                rows['sum'].append(None)
+            hll = HyperLogLog(self.hll_p)
+            if n > nulls:
+                hashes = hash64_array(arr)
+                if nulls:
+                    hashes = hashes[np.asarray(arr.is_valid())]
+                hll.add_hashes(hashes)
+            rows['hll'].append(hll.serialize())
+            td = TDigest(self.compression)
+            if is_num and n > nulls:
+                vals = np.asarray(arr.cast(pa.float64()).fill_null(np.nan))
+                td.add(vals)
+            rows['tdigest'].append(td.serialize())
+        return pa.table({
+            'column': pa.array(rows['column'], type=pa.string()),
+            'count': pa.array(rows['count'], type=pa.int64()),
+            'nulls': pa.array(rows['nulls'], type=pa.int64()),
+            'min': pa.array(rows['min'], type=pa.string()),
+            'max': pa.array(rows['max'], type=pa.string()),
+            'sum': pa.array(rows['sum'], type=pa.float64()),
+            'hll': pa.array(rows['hll'], type=pa.binary()),
+            'tdigest': pa.array(rows['tdigest'], type=pa.binary()),
+        })
+
+
+def column_stats(ds, columns, quantiles=(0.5, 0.9, 0.99), concurrency=None,
+                 batch_size=65536):
+    """Streaming per-column statistics: returns {column: stats dict}.
+
+    Partials stream back to the driver (tiny rows), merged incrementally —
+    the input dataset is never materialized."""
+    stage_ds = ds.map_batches(
+        ColumnStatsStage(columns), batch_format='pyarrow',
+        batch_size=batch_size,
+        **({'concurrency': concurrency} if concurrency else {}))
+    merged = {}
+    for part in stage_ds.iter_batches(batch_size=1024,
+                                      batch_format='pyarrow'):
+        for row in part.to_pylist():
+            col = row['column']
+            if col not in merged:
+                merged[col] = {
+                    'count': 0, 'nulls': 0, 'min': None, 'max': None,
+                    'sum': 0.0, 'has_sum': False,
+                    'hll': HyperLogLog(), 'tdigest': TDigest(),
+                }
+            m = merged[col]
+            m['count'] += row['count']
+            m['nulls'] += row['nulls']
+            if row['min'] is not None:
+                m['min'] = row['min'] if m['min'] is None \
+                    else min(m['min'], row['min'])
+                m['max'] = row['max'] if m['max'] is None \
+                    else max(m['max'], row['max'])
+            if row['sum'] is not None:
+                m['sum'] += row['sum']
+                m['has_sum'] = True
+            m['hll'].merge(HyperLogLog.deserialize(row['hll']))
+            m['tdigest'].merge(TDigest.deserialize(row['tdigest']))
+    out = {}
+    for col, m in merged.items():
+        stats = {
+            'count': m['count'],
+            'nulls': m['nulls'],
+            'min': m['min'],
+            'max': m['max'],
+            'approx_distinct': round(m['hll'].estimate()),
+        }
+        if m['has_sum']:
+            stats['sum'] = m['sum']
+            denom = m['count'] - m['nulls']
+            stats['mean'] = m['sum'] / denom if denom else None
+            for q in quantiles:
+                stats['p{:g}'.format(q * 100)] = m['tdigest'].quantile(q)
+        out[col] = stats
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Uniqueness
+
+
+class _KeyCountStage:
+    """Pre-aggregate (key → count) inside each batch before the shuffle."""
+
+    def __init__(self, columns):
+        self.columns = columns
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sub = batch.select(self.columns)
+        grouped = sub.group_by(self.columns).aggregate(
+            [([], 'count_all')])
+        return grouped.rename_columns(list(self.columns) + ['partial_n'])
+
+
+def check_unique(ds, columns, concurrency=None):
+    """Duplicate-key detection: per-batch pre-aggregation → groupby(sum) over
+    the (much smaller) partials → keys with total count > 1.
+
+    Returns a Dataset of duplicate keys with their counts (columns:
+    ``columns... , n``)."""
+    from ray.data.aggregate import Sum
+
+    columns = list(columns)
+    partials = ds.map_batches(
+        _KeyCountStage(columns), batch_format='pyarrow',
+        **({'concurrency': concurrency} if concurrency else {}))
+    totals = partials.groupby(columns).aggregate(
+        Sum('partial_n', alias_name='n'))
+    return totals.filter(expr='n > 1')
+
+
+def dedup_exact(ds, columns, concurrency=None):
+    """Exact first-wins dedup: hash-partition on the key columns, keep one
+    row per group. The winner is deterministic (lowest sort order within the
+    group by all columns)."""
+    import pandas as pd
+
+    def first_row(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(list(group.columns)).head(1)
+
+    return ds.groupby(list(columns)).map_groups(
+        first_row, batch_format='pandas')
+
+
+# ---------------------------------------------------------------------------
+# Referential integrity
+
+
+class _AntiJoinStage:
+    """Keep rows whose key is NOT in the broadcast reference key set.
+
+    The key set is shipped once via ray.put; each actor reads the object
+    store reference in __init__ (zero per-batch cost)."""
+
+    def __init__(self, column, keys_ref):
+        import ray
+        self.column = column
+        keys = ray.get(keys_ref)
+        self.keys = pa.array(keys) if not isinstance(keys, pa.Array) else keys
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch.column(self.column)
+        if len(self.keys) == 0:
+            return batch
+        hit = pc.is_in(col, value_set=self.keys, skip_nulls=False)
+        if hit.null_count:
+            hit = hit.fill_null(False)
+        return batch.filter(pc.invert(hit))
+
+
+def check_referential(ds, column, ref_ds, ref_column, concurrency=None):
+    """Anti-join ``ds[column]`` against the key set of ``ref_ds[ref_column]``.
+
+    Returns the violating rows (keys with no match in the reference table).
+    The reference side is collected to the driver and broadcast — suitable
+    for dimension-table-sized references; see ``check_referential_large``
+    for the both-sides-large case."""
+    import ray
+
+    ref_keys = ref_ds.select_columns([ref_column]).unique(ref_column)
+    keys_ref = ray.put(pa.array(ref_keys))
+    return ds.map_batches(
+        _AntiJoinStage, fn_constructor_args=(column, keys_ref),
+        batch_format='pyarrow',
+        concurrency=concurrency if concurrency is not None else _half_cpus())
+
+
+def check_referential_large(ds, column, ref_ds, ref_column, num_buckets=64):
+    """Both-sides-large anti join: bucket both sides by key hash, co-group
+    per bucket, emit left keys missing on the right.  num_buckets bounds
+    per-group memory; raise it for bigger tables."""
+    import pandas as pd
+
+    def add_bucket(batch: pa.Table, col) -> pa.Table:
+        h = hash64_array(batch.column(col).combine_chunks())
+        return batch.append_column(
+            '_bucket', pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
+
+    left = ds.map_batches(lambda b: add_bucket(b, column),
+                          batch_format='pyarrow')
+    right = ref_ds.select_columns([ref_column]).map_batches(
+        lambda b: add_bucket(b, ref_column), batch_format='pyarrow')
+
+    # Tag sides, union, and co-group by bucket: one shuffle total.
+    left = left.map_batches(
+        lambda b: b.append_column('_side', pa.array(['L'] * b.num_rows)),
+        batch_format='pyarrow')
+    right = right.map_batches(
+        lambda b: b.append_column('_side', pa.array(['R'] * b.num_rows)),
+        batch_format='pyarrow')
+
+    def anti(group: pd.DataFrame) -> pd.DataFrame:
+        right_keys = set(group.loc[group['_side'] == 'R', ref_column])
+        lhs = group[group['_side'] == 'L']
+        out = lhs[~lhs[column].isin(right_keys)]
+        return out.drop(columns=['_bucket', '_side']
+                        + ([ref_column] if ref_column != column
+                           and ref_column in out.columns else []))
+
+    return left.union(right).groupby('_bucket').map_groups(
+        anti, batch_format='pandas')
+
+
+def _half_cpus():
+    import ray
+    total = int(ray.cluster_resources().get('CPU', 2))
+    return max(1, total // 2)
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift (PSI / KS against a reference profile)
+
+
+class _HistogramStage:
+    def __init__(self, column, edges):
+        self.column = column
+        self.edges = np.asarray(edges, dtype=np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = np.asarray(
+            batch.column(self.column).combine_chunks()
+            .cast(pa.float64()).fill_null(np.nan))
+        vals = vals[~np.isnan(vals)]
+        counts, _ = np.histogram(vals, bins=self.edges)
+        return pa.table({'counts': pa.array([pickle.dumps(counts)],
+                                            type=pa.binary())})
+
+
+def histogram_profile(ds, column, edges, concurrency=None):
+    """Fixed-edge histogram via mergeable per-batch partials (no shuffle)."""
+    parts = ds.map_batches(
+        _HistogramStage(column, edges), batch_format='pyarrow',
+        **({'concurrency': concurrency} if concurrency else {}))
+    total = np.zeros(len(edges) - 1, dtype=np.int64)
+    for part in parts.iter_batches(batch_size=1024, batch_format='pyarrow'):
+        for blob in part.column('counts').to_pylist():
+            total += pickle.loads(blob)
+    return total
+
+
+def psi(expected_counts, actual_counts, eps=1e-6) -> float:
+    """Population stability index between two histograms."""
+    e = np.asarray(expected_counts, dtype=np.float64)
+    a = np.asarray(actual_counts, dtype=np.float64)
+    e = e / max(e.sum(), 1.0) + eps
+    a = a / max(a.sum(), 1.0) + eps
+    return float(((a - e) * np.log(a / e)).sum())
+
+
+def ks_statistic(expected_counts, actual_counts) -> float:
+    """Two-sample KS statistic on binned data (max CDF gap)."""
+    e = np.asarray(expected_counts, dtype=np.float64)
+    a = np.asarray(actual_counts, dtype=np.float64)
+    e_cdf = np.cumsum(e) / max(e.sum(), 1.0)
+    a_cdf = np.cumsum(a) / max(a.sum(), 1.0)
+    return float(np.abs(e_cdf - a_cdf).max())
+
+
+def drift_check(ds, column, reference_profile, edges, *, psi_threshold=0.2,
+                ks_threshold=0.1, concurrency=None):
+    """Compare ``ds[column]``'s distribution against a reference histogram
+    profile; returns the drift report dict (a violation when thresholds are
+    exceeded)."""
+    actual = histogram_profile(ds, column, edges, concurrency=concurrency)
+    p = psi(reference_profile, actual)
+    k = ks_statistic(reference_profile, actual)
+    return {
+        'column': column,
+        'psi': p,
+        'ks': k,
+        'psi_threshold': psi_threshold,
+        'ks_threshold': ks_threshold,
+        'drifted': bool(p > psi_threshold or k > ks_threshold),
+        'actual_counts': actual.tolist(),
+    }

@@ -1,0 +1,254 @@
+"""Mergeable sketches for distributed column statistics.
+
+These are the per-actor state the north rule calls for: each ``map_batches``
+worker folds its batches into local sketch state, emits one serialized
+partial per batch (or per block), and the driver (or a tiny reduce stage)
+merges partials — the classic partial/combine pattern that avoids an
+all-to-all shuffle for distinct counts and quantiles.
+
+* :class:`HyperLogLog` — distinct-count sketch (Flajolet et al., HLL with the
+  standard small/large-range corrections), 2^p byte registers, elementwise-max
+  merge.
+* :class:`TDigest` — quantile sketch in the buffered-cluster style of
+  Dunning's t-digest: incoming batches are pre-clustered vectorized
+  (sort + equal-weight chunking), then centroid lists are merged under the
+  k1 size bound, keeping memory O(compression).
+
+No external dependencies — numpy + hashlib only (the environment has no
+datasketches library).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import pickle
+
+import numpy as np
+
+# -- 64-bit hashing ----------------------------------------------------------
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — a well-mixed 64-bit hash for
+    integer keys (public-domain constant set)."""
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over='ignore'):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        z = x
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return z
+
+
+def _hash_bytes_array(values) -> np.ndarray:
+    """64-bit stable hashes for a python sequence of str/bytes/None."""
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, v in enumerate(values):
+        if v is None:
+            out[i] = np.uint64(0)
+            continue
+        if isinstance(v, str):
+            v = v.encode('utf-8', 'surrogatepass')
+        elif not isinstance(v, bytes):
+            v = repr(v).encode('utf-8')
+        out[i] = np.frombuffer(
+            hashlib.blake2b(v, digest_size=8).digest(), dtype=np.uint64)[0]
+    return out
+
+
+def hash64_array(arr) -> np.ndarray:
+    """Stable 64-bit hashes for a pyarrow array (nulls excluded by caller or
+    hashed as 0).  Numeric types hash vectorized via splitmix64; strings hash
+    their *dictionary* (unique values) so per-row cost is amortized."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = arr.type
+    if pa.types.is_integer(t):
+        vals = np.asarray(arr.fill_null(np.iinfo(np.int64).min)).astype(np.int64)
+        return _splitmix64(vals.view(np.uint64))
+    if pa.types.is_floating(t):
+        vals = np.asarray(arr.cast(pa.float64()).fill_null(np.nan),
+                          dtype=np.float64)
+        return _splitmix64(vals.view(np.uint64))
+    if pa.types.is_boolean(t):
+        vals = np.asarray(arr.cast(pa.int64()).fill_null(-1)).astype(np.int64)
+        return _splitmix64(vals.view(np.uint64))
+    if pa.types.is_timestamp(t) or pa.types.is_date(t) or pa.types.is_time(t):
+        vals = np.asarray(arr.cast(pa.int64()).fill_null(
+            np.iinfo(np.int64).min)).astype(np.int64)
+        return _splitmix64(vals.view(np.uint64))
+    # Strings / binary: hash unique dictionary values once, then gather.
+    dic = arr.dictionary_encode()
+    uniq_hashes = _hash_bytes_array(dic.dictionary.to_pylist())
+    codes = np.asarray(dic.indices.fill_null(-1)).astype(np.int64)
+    out = np.zeros(len(arr), dtype=np.uint64)
+    present = codes >= 0
+    out[present] = uniq_hashes[codes[present]]
+    return out
+
+
+# -- HyperLogLog -------------------------------------------------------------
+
+
+class HyperLogLog:
+    """Distinct-count sketch; merge = elementwise register max."""
+
+    __slots__ = ('p', 'm', 'registers')
+
+    def __init__(self, p: int = 14):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, hashes: np.ndarray):
+        if len(hashes) == 0:
+            return
+        p = np.uint64(self.p)
+        idx = (hashes >> (np.uint64(64) - p)).astype(np.int64)
+        w = (hashes << p) & _MASK64
+        # rho = leading zeros of w within 64-p bits, + 1
+        bits = np.zeros(len(w), dtype=np.int64)
+        nz = w > 0
+        # floor(log2(w)) via float conversion is exact enough for >0 values
+        # well below 2^53 after shifting; use bit_length-style loop-free calc.
+        wf = w[nz].astype(np.float64)
+        bits_nz = np.floor(np.log2(wf)).astype(np.int64)
+        rho = np.empty(len(w), dtype=np.uint8)
+        rho[nz] = np.minimum(63 - bits_nz + 1, 64 - self.p + 1).astype(np.uint8)
+        rho[~nz] = np.uint8(64 - self.p + 1)
+        np.maximum.at(self.registers, idx, rho)
+
+    def merge(self, other: 'HyperLogLog'):
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        e = alpha * m * m / inv.sum()
+        if e <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                e = m * np.log(m / zeros)
+        elif e > (1 << 64) / 30.0:
+            e = -(1 << 64) * np.log(1 - e / (1 << 64))
+        return float(e)
+
+    def serialize(self) -> bytes:
+        return pickle.dumps((self.p, self.registers))
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> 'HyperLogLog':
+        p, registers = pickle.loads(data)
+        out = cls(p)
+        out.registers = registers.astype(np.uint8, copy=True)
+        return out
+
+
+# -- t-digest ----------------------------------------------------------------
+
+
+class TDigest:
+    """Quantile sketch with buffered vectorized clustering.
+
+    ``add`` pre-clusters the incoming batch (sort + equal-weight chunks of
+    ~n/compression) entirely in numpy, then merges centroid lists under the
+    k1 scale-function bound — per-batch cost is O(n log n) vectorized, state
+    stays O(compression)."""
+
+    __slots__ = ('compression', 'means', 'weights', 'n', '_min', '_max')
+
+    def __init__(self, compression: int = 200):
+        self.compression = compression
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+        self.n = 0.0
+        self._min = np.inf
+        self._max = -np.inf
+
+    def add(self, values: np.ndarray):
+        values = np.asarray(values, dtype=np.float64)
+        values = values[~np.isnan(values)]
+        if len(values) == 0:
+            return
+        values = np.sort(values)
+        self._min = min(self._min, float(values[0]))
+        self._max = max(self._max, float(values[-1]))
+        # Pre-cluster the batch into ≤ 2*compression equal-count chunks.
+        k = min(len(values), 2 * self.compression)
+        splits = np.array_split(values, k)
+        means = np.array([c.mean() for c in splits])
+        weights = np.array([len(c) for c in splits], dtype=np.float64)
+        self._merge_centroids(means, weights)
+
+    def _merge_centroids(self, means, weights):
+        all_means = np.concatenate([self.means, means])
+        all_weights = np.concatenate([self.weights, weights])
+        order = np.argsort(all_means, kind='mergesort')
+        all_means, all_weights = all_means[order], all_weights[order]
+        total = all_weights.sum()
+        self.n = total
+        # Greedy k1-bound compression pass.
+        out_means, out_weights = [], []
+        cur_m, cur_w = all_means[0], all_weights[0]
+        cum = 0.0
+        d = self.compression
+        for i in range(1, len(all_means)):
+            q = (cum + cur_w + all_weights[i] / 2) / max(total, 1.0)
+            limit = 4 * total * q * (1 - q) / d
+            if cur_w + all_weights[i] <= max(limit, 1.0):
+                cur_m = (cur_m * cur_w + all_means[i] * all_weights[i]) \
+                    / (cur_w + all_weights[i])
+                cur_w += all_weights[i]
+            else:
+                out_means.append(cur_m)
+                out_weights.append(cur_w)
+                cum += cur_w
+                cur_m, cur_w = all_means[i], all_weights[i]
+        out_means.append(cur_m)
+        out_weights.append(cur_w)
+        self.means = np.asarray(out_means)
+        self.weights = np.asarray(out_weights)
+
+    def merge(self, other: 'TDigest'):
+        if other.n:
+            self._min = min(self._min, other._min)
+            self._max = max(self._max, other._max)
+            self._merge_centroids(other.means, other.weights)
+        return self
+
+    def quantile(self, q: float) -> float:
+        if self.n == 0:
+            return float('nan')
+        if q <= 0:
+            return self._min
+        if q >= 1:
+            return self._max
+        target = q * self.n
+        cum = np.cumsum(self.weights) - self.weights / 2
+        idx = np.searchsorted(cum, target)
+        if idx == 0:
+            return float(self.means[0])
+        if idx >= len(self.means):
+            return float(self.means[-1])
+        lo, hi = cum[idx - 1], cum[idx]
+        frac = (target - lo) / max(hi - lo, 1e-12)
+        return float(self.means[idx - 1]
+                     + frac * (self.means[idx] - self.means[idx - 1]))
+
+    def serialize(self) -> bytes:
+        return pickle.dumps((self.compression, self.means, self.weights,
+                             self.n, self._min, self._max))
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> 'TDigest':
+        compression, means, weights, n, mn, mx = pickle.loads(data)
+        out = cls(compression)
+        out.means, out.weights, out.n = means, weights, n
+        out._min, out._max = mn, mx
+        return out

@@ -1,0 +1,101 @@
+"""Table-constraint pipelines vs DuckDB exact answers on testdata."""
+
+import duckdb
+import numpy as np
+import pytest
+
+SF = '/root/testdata/sf0.001'
+
+
+@pytest.fixture(scope='module')
+def ddb():
+    con = duckdb.connect()
+    for t in ('lineitem', 'orders', 'customer', 'events'):
+        con.execute(
+            "CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+            .format(t=t, sf=SF))
+    return con
+
+
+def test_column_stats(ray_session, ddb):
+    import ray.data
+    from python_fastjsonschema_ray.pipelines.constraints import column_stats
+    ds = ray.data.read_parquet(SF + '/lineitem.parquet',
+                               columns=['l_quantity', 'l_extendedprice'])
+    stats = column_stats(ds, ['l_quantity', 'l_extendedprice'])
+    row = ddb.execute(
+        'SELECT count(*), count(*) - count(l_quantity), min(l_quantity), '
+        'max(l_quantity), sum(l_quantity), avg(l_quantity), '
+        'count(DISTINCT l_quantity), '
+        'quantile_cont(l_quantity, 0.5) FROM lineitem').fetchone()
+    s = stats['l_quantity']
+    assert s['count'] == row[0]
+    assert s['nulls'] == row[1]
+    assert float(s['min']) == row[2]
+    assert float(s['max']) == row[3]
+    assert abs(s['sum'] - row[4]) < 1e-6
+    assert abs(s['mean'] - row[5]) < 1e-9
+    assert abs(s['approx_distinct'] - row[6]) / row[6] < 0.05
+    assert abs(s['p50'] - row[7]) < 2.0
+
+
+def test_check_unique(ray_session, ddb):
+    import ray.data
+    from python_fastjsonschema_ray.pipelines.constraints import check_unique
+    ds = ray.data.read_parquet(SF + '/events.parquet', columns=['event_id'])
+    # Plant duplicates: union the head of the table with itself.
+    dup = ds.limit(10)
+    both = ds.union(dup)
+    dups = check_unique(both, ['event_id']).take_all()
+    expected = ddb.execute(
+        'SELECT event_id FROM (SELECT event_id FROM events UNION ALL '
+        'SELECT event_id FROM (SELECT event_id FROM events LIMIT 10)) '
+        'GROUP BY event_id HAVING count(*) > 1 ORDER BY event_id').fetchall()
+    got = sorted((r['event_id'], r['n']) for r in dups)
+    assert [g[0] for g in got] == [e[0] for e in expected]
+    assert all(g[1] == 2 for g in got)
+
+
+def test_dedup_exact(ray_session):
+    import ray.data
+    from python_fastjsonschema_ray.pipelines.constraints import dedup_exact
+    ds = ray.data.read_parquet(SF + '/events.parquet',
+                               columns=['event_id', 'event_type'])
+    both = ds.union(ds.limit(25))
+    deduped = dedup_exact(both, ['event_id'])
+    assert deduped.count() == ds.count()
+
+
+def test_check_referential(ray_session, ddb):
+    import ray.data
+    from python_fastjsonschema_ray.pipelines.constraints import (
+        check_referential, check_referential_large)
+    orders = ray.data.read_parquet(SF + '/orders.parquet',
+                                   columns=['o_orderkey', 'o_custkey'])
+    customer = ray.data.read_parquet(SF + '/customer.parquet',
+                                     columns=['c_custkey'])
+    expected = ddb.execute(
+        'SELECT count(*) FROM orders WHERE o_custkey NOT IN '
+        '(SELECT c_custkey FROM customer)').fetchone()[0]
+    violations = check_referential(orders, 'o_custkey', customer, 'c_custkey')
+    assert violations.count() == expected
+    # The bucketed large-side variant must agree.
+    large = check_referential_large(orders, 'o_custkey', customer, 'c_custkey',
+                                    num_buckets=8)
+    assert large.count() == expected
+
+
+def test_drift(ray_session):
+    import ray.data
+    from python_fastjsonschema_ray.pipelines.constraints import (
+        drift_check, histogram_profile)
+    ds = ray.data.read_parquet(SF + '/lineitem.parquet',
+                               columns=['l_quantity', 'l_extendedprice'])
+    edges = np.linspace(0, 60, 25)
+    ref = histogram_profile(ds, 'l_quantity', edges)
+    # Same distribution → no drift.
+    report = drift_check(ds, 'l_quantity', ref, edges)
+    assert not report['drifted'], report
+    # Totally different column → drift.
+    report2 = drift_check(ds, 'l_extendedprice', ref, edges)
+    assert report2['drifted']
