@@ -77,7 +77,8 @@ class ColumnStatsStage:
             rows['hll'].append(hll.serialize())
             td = TDigest(self.compression)
             if is_num and n > nulls:
-                vals = np.asarray(arr.cast(pa.float64()).fill_null(np.nan))
+                vals = np.asarray(
+                    pc.cast(arr, pa.float64(), safe=False).fill_null(np.nan))
                 td.add(vals)
             rows['tdigest'].append(td.serialize())
         return pa.table({

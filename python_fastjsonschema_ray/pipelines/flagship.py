@@ -1,0 +1,131 @@
+"""Flagship pipeline: end-to-end validation of the image+caption table
+(BASELINE.json north rule).
+
+Stages (all streaming, Arrow batches, actor pools for stateful steps):
+
+1. **Schema validation** — IMAGE_TABLE_SPEC compiled once per actor
+   (type / range / enum / pattern / required), violations as structured rows.
+2. **Decode + integrity** — decode bytes per fmt; verify declared dims and
+   phash against decoded pixels (content-level checks the schema cannot see).
+3. **Uniqueness** — duplicate (phash, image_id) detection via pre-aggregated
+   groupby (hash-partitioned shuffle on the composite key).
+4. **Referential** — phash membership against a broadcast reference key set.
+5. **Column stats + drift** — count/null/min/max/HLL/t-digest per column and
+   PSI/KS on the width distribution vs a reference profile.
+
+``run_flagship`` returns a report dict of violation counts per check plus
+the violations dataset; callers write it with ``write_parquet`` for the
+resumable per-partition output layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .constraints import (
+    check_unique,
+    column_stats,
+    drift_check,
+    histogram_profile,
+)
+from .validate import ValidatorStage, validate_dataset
+
+IMAGE_TABLE_SPEC = {
+    'type': 'object',
+    'properties': {
+        'image_id': {'type': 'string', 'pattern': '^img-[0-9]{12}$'},
+        'bytes': {},                                  # binary payload: content checks in decode stage
+        'w': {'type': 'integer', 'minimum': 1, 'maximum': 4096},
+        'h': {'type': 'integer', 'minimum': 1, 'maximum': 4096},
+        'fmt': {'enum': ['ppm', 'raw', 'lossy']},
+        'caption': {'type': 'string', 'minLength': 2, 'maxLength': 512},
+        'phash': {'type': 'integer'},
+    },
+    'required': ['image_id', 'bytes', 'w', 'h', 'fmt', 'caption', 'phash'],
+}
+
+
+def _decode_violations(batch: pa.Table) -> pa.Table:
+    """Project decode-check results into violation-shaped rows."""
+    from ..stages.decode import DecodeCheckStage
+    res = DecodeCheckStage()(batch)
+    ids = res.column('image_id').to_pylist()
+    rows = {'key': [], 'rule': [], 'message': []}
+    for i, r in enumerate(res.to_pylist()):
+        if not r['decode_ok']:
+            rows['key'].append(ids[i])
+            rows['rule'].append('decode')
+            rows['message'].append('data.bytes failed to decode: {}'.format(
+                r['error']))
+        elif not r['dims_match']:
+            rows['key'].append(ids[i])
+            rows['rule'].append('dims')
+            rows['message'].append(
+                'data.w/data.h declared dims do not match decoded payload')
+        elif not r['phash_match']:
+            rows['key'].append(ids[i])
+            rows['rule'].append('phash')
+            rows['message'].append(
+                'data.phash does not match decoded content hash')
+    return pa.table({
+        'key': pa.array(rows['key'], type=pa.string()),
+        'rule': pa.array(rows['rule'], type=pa.string()),
+        'message': pa.array(rows['message'], type=pa.string()),
+    })
+
+
+def run_flagship(ds, *, reference_phashes=None, width_profile=None,
+                 width_edges=None, concurrency=None, stats=True):
+    """Full validation run over an image+caption Dataset.
+
+    ``reference_phashes``: iterable/array of allowed phash keys (referential
+    check); None skips the check.  ``width_profile``/``width_edges``: drift
+    reference for the ``w`` column; None skips drift."""
+    report = {}
+
+    # 1. Schema validation (one streaming pass → violation rows).
+    schema_violations = validate_dataset(
+        ds, IMAGE_TABLE_SPEC, mode='violations', key_column='image_id',
+        concurrency=concurrency)
+    sv = schema_violations.groupby('rule').count().to_pandas()
+    report['schema_violations'] = dict(zip(sv['rule'], sv['count()'])) \
+        if len(sv) else {}
+
+    # 2. Decode/integrity checks (actor pool; pixels stay in workers).
+    decode_violations = ds.map_batches(
+        _decode_violations, batch_format='pyarrow', batch_size=1024)
+    dv = decode_violations.groupby('rule').count().to_pandas()
+    report['content_violations'] = dict(zip(dv['rule'], dv['count()'])) \
+        if len(dv) else {}
+
+    # 3. Uniqueness on (phash, image_id).
+    dups = check_unique(ds.select_columns(['phash', 'image_id']),
+                        ['phash', 'image_id'])
+    report['duplicate_keys'] = dups.count()
+
+    # 4. Referential: phash ∈ reference key set (broadcast anti-filter).
+    if reference_phashes is not None:
+        import ray
+        keys_ref = ray.put(pa.array(list(reference_phashes),
+                                    type=pa.int64()))
+        from .constraints import _AntiJoinStage
+        orphans = ds.select_columns(['image_id', 'phash']).map_batches(
+            _AntiJoinStage, fn_constructor_args=('phash', keys_ref),
+            batch_format='pyarrow', concurrency=concurrency or 2)
+        report['referential_orphans'] = orphans.count()
+
+    # 5. Stats + drift.
+    if stats:
+        report['stats'] = column_stats(
+            ds.select_columns(['w', 'h', 'phash']), ['w', 'h', 'phash'])
+    if width_profile is not None and width_edges is not None:
+        report['drift'] = drift_check(ds, 'w', width_profile, width_edges)
+
+    return report, schema_violations
+
+
+def make_width_profile(ds, edges=None):
+    edges = edges if edges is not None else np.linspace(0, 64, 33)
+    return histogram_profile(ds, 'w', edges), edges

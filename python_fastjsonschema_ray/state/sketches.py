@@ -68,7 +68,8 @@ def hash64_array(arr) -> np.ndarray:
 
     t = arr.type
     if pa.types.is_integer(t):
-        vals = np.asarray(arr.fill_null(np.iinfo(np.int64).min)).astype(np.int64)
+        vals = np.asarray(arr.cast(pa.int64()).fill_null(
+            np.iinfo(np.int64).min)).astype(np.int64)
         return _splitmix64(vals.view(np.uint64))
     if pa.types.is_floating(t):
         vals = np.asarray(arr.cast(pa.float64()).fill_null(np.nan),
