@@ -1,0 +1,279 @@
+"""Deduplication operators for training-data pipelines.
+
+Shuffle discipline (the part that matters at 100 TB):
+
+* **Exact dedup** — content hash per batch (vectorized) → hash-partitioned
+  ``groupby(hash).map_groups(first)``.  One shuffle, key is the 64-bit
+  content hash (uniform by construction, no skew).
+* **MinHash-LSH near-dup** — per-batch vectorized shingle→minhash →
+  explode to ``(band, band_hash, doc_id)`` rows (b rows per doc) →
+  ``groupby(band, band_hash)`` → candidate pairs from multi-doc buckets →
+  exact-Jaccard verification of candidates only.  The shuffle moves b
+  small rows per doc, never the text; verification re-reads only candidate
+  texts (carried through the bucket rows).
+* **SimHash** — 64-bit signature, duplicates = identical signature bucket
+  (or small Hamming radius via rotation tables).
+* **Embedding near-dup** — random-hyperplane LSH bucket → exact cosine
+  verify inside buckets.
+
+All heavy per-doc work (hashing, shingling) is numpy-vectorized per
+document with per-actor precomputed permutation tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..state.sketches import _hash_bytes_array, _splitmix64
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Vectorized rolling-hash values of all k-char shingles (uint64)."""
+    data = np.frombuffer(text.lower().encode('utf-8'), dtype=np.uint8)
+    if len(data) < k:
+        data = np.pad(data, (0, k - len(data)), constant_values=32)
+    windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
+    powers = np.power(np.uint64(257), np.arange(k, dtype=np.uint64))
+    with np.errstate(over='ignore'):
+        raw = (windows * powers).sum(axis=1)
+    return np.unique(_splitmix64(raw))
+
+
+class MinHasher:
+    """num_perm universal-hash minhash signatures over shingle hashes."""
+
+    def __init__(self, num_perm: int = 128, seed: int = 1337):
+        rng = np.random.default_rng(seed)
+        self.num_perm = num_perm
+        self.a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64)
+        self.b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
+
+    def signature(self, shingles: np.ndarray) -> np.ndarray:
+        if len(shingles) == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        with np.errstate(over='ignore'):
+            # (num_perm, n_shingles) universal hashes; min over shingles.
+            h = (np.outer(self.a, shingles) + self.b[:, None]) % _MERSENNE
+        return h.min(axis=1)
+
+
+class MinHashBandStage:
+    """doc → b rows of (band, band_hash, id, text?) for the LSH groupby."""
+
+    def __init__(self, id_column, text_column, num_perm=128, bands=32,
+                 shingle_k=5, carry_text=True, seed=1337):
+        assert num_perm % bands == 0
+        self.id_column = id_column
+        self.text_column = text_column
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.shingle_k = shingle_k
+        self.carry_text = carry_text
+        self.hasher = MinHasher(num_perm, seed)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, texts = batch[self.id_column], batch[self.text_column].fillna('')
+        out_band, out_hash, out_id, out_text = [], [], [], []
+        r = self.rows_per_band
+        for doc_id, text in zip(ids, texts):
+            sig = self.hasher.signature(
+                _shingle_hashes(text, self.shingle_k))
+            bands = sig.reshape(self.bands, r)
+            with np.errstate(over='ignore'):
+                band_hashes = _splitmix64(
+                    (bands * np.power(np.uint64(1099511628211),
+                                      np.arange(r, dtype=np.uint64))).sum(axis=1))
+            for band_idx in range(self.bands):
+                out_band.append(band_idx)
+                out_hash.append(int(band_hashes[band_idx].astype(np.int64)))
+                out_id.append(doc_id)
+                if self.carry_text:
+                    out_text.append(text)
+        data = {'band': out_band, 'band_hash': out_hash,
+                self.id_column: out_id}
+        if self.carry_text:
+            data[self.text_column] = out_text
+        return pd.DataFrame(data)
+
+
+def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    a = set(_shingle_hashes(text_a, k).tolist())
+    b = set(_shingle_hashes(text_b, k).tolist())
+    if not a and not b:
+        return 1.0
+    return len(a & b) / max(len(a | b), 1)
+
+
+def minhash_duplicate_pairs(ds, id_column, text_column, *, threshold=0.8,
+                            num_perm=128, bands=32, shingle_k=5,
+                            concurrency=None):
+    """Near-duplicate pairs via MinHash-LSH: returns a Dataset of
+    (id_a, id_b, jaccard) with id_a < id_b and exact shingle-Jaccard ≥
+    threshold.  Candidates found per LSH bucket; each pair verified once
+    (dedup by pair key inside the bucket group; cross-bucket pair dedup via
+    a final groupby on the pair)."""
+    stage = MinHashBandStage(id_column, text_column, num_perm, bands,
+                             shingle_k, carry_text=True)
+    kwargs = {'batch_format': 'pandas'}
+    if concurrency:
+        kwargs['concurrency'] = concurrency
+    banded = ds.select_columns([id_column, text_column]).map_batches(
+        stage, **kwargs)
+
+    k = shingle_k
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({'id_a': [], 'id_b': [], 'jaccard': []})
+        rows = group.drop_duplicates(subset=[id_column]) \
+            .sort_values(id_column)
+        ids = rows[id_column].tolist()
+        texts = rows[text_column].tolist()
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                sim = jaccard(texts[i], texts[j], k)
+                if sim >= threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_j.append(round(sim, 6))
+        return pd.DataFrame({'id_a': out_a, 'id_b': out_b, 'jaccard': out_j})
+
+    pairs = banded.groupby(['band', 'band_hash']).map_groups(
+        verify, batch_format='pandas')
+    # A pair can surface from several bands: keep one instance.
+    return pairs.groupby(['id_a', 'id_b']).map_groups(
+        lambda g: g.head(1), batch_format='pandas')
+
+
+def dedup_minhash(ds, id_column, text_column, **kwargs):
+    """Near-dup removal: drop the higher id of every duplicate pair.
+    (Connected components collapse transitively-linked groups; for the
+    common near-dup threshold ≥0.8 pair-wise removal is the standard
+    first-order policy.)"""
+    pairs = minhash_duplicate_pairs(ds, id_column, text_column, **kwargs)
+    losers = {row['id_b'] for row in pairs.take_all()}
+    if not losers:
+        return ds
+    import ray
+    losers_ref = ray.put(losers)
+
+    def drop(batch: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+        drop_set = _ray.get(losers_ref)
+        return batch[~batch[id_column].isin(drop_set)]
+
+    return ds.map_batches(drop, batch_format='pandas')
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+class SimHashStage:
+    """64-bit SimHash over whitespace tokens (per-actor hash cache)."""
+
+    def __init__(self, id_column, text_column):
+        self.id_column = id_column
+        self.text_column = text_column
+        self._cache = {}
+
+    def _token_hash(self, token: str) -> np.uint64:
+        h = self._cache.get(token)
+        if h is None:
+            h = self._cache[token] = _hash_bytes_array([token])[0]
+            if len(self._cache) > 1_000_000:
+                self._cache.clear()
+        return h
+
+    def simhash(self, text: str) -> int:
+        tokens = text.lower().split()
+        if not tokens:
+            return 0
+        hashes = np.array([self._token_hash(t) for t in tokens],
+                          dtype=np.uint64)
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64))
+                & np.uint64(1)).astype(np.int64)
+        vote = (2 * bits - 1).sum(axis=0)
+        sig = np.uint64(0)
+        for i in np.nonzero(vote > 0)[0]:
+            sig |= np.uint64(1) << np.uint64(i)
+        return int(sig.astype(np.int64))
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch['simhash'] = [
+            self.simhash(t) for t in batch[self.text_column].fillna('')]
+        return batch
+
+
+def simhash_buckets(ds, id_column, text_column, *, concurrency=None):
+    """Groups of documents sharing an identical 64-bit SimHash."""
+    kwargs = {'batch_format': 'pandas'}
+    if concurrency:
+        kwargs['concurrency'] = concurrency
+    from ray.data.aggregate import Count
+    sigs = ds.select_columns([id_column, text_column]).map_batches(
+        SimHashStage(id_column, text_column), **kwargs)
+    counts = sigs.groupby('simhash').aggregate(Count(alias_name='n'))
+    return sigs, counts.filter(expr='n > 1')
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup (cosine)
+
+
+class HyperplaneLSHStage:
+    """Random-hyperplane bucket id for unit-normalized embeddings."""
+
+    def __init__(self, embedding_column, dim, n_planes=16, seed=7):
+        rng = np.random.default_rng(seed)
+        self.embedding_column = embedding_column
+        self.planes = rng.standard_normal((dim, n_planes))
+        self.weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.arrowutil import embedding_matrix
+        emb = embedding_matrix(batch.column(self.embedding_column))
+        signs = (emb @ self.planes) > 0
+        bucket = (signs * self.weights).sum(axis=1)
+        return batch.append_column('bucket', pa.array(bucket, type=pa.int64()))
+
+
+def embedding_duplicate_pairs(ds, id_column, embedding_column, dim, *,
+                              threshold=0.95, n_planes=12, concurrency=None):
+    """Near-identical embeddings: hyperplane-LSH bucket → exact cosine
+    verification within buckets.  (High thresholds ⇒ near-identical vectors
+    ⇒ same bucket with high probability; raise recall by lowering
+    n_planes.)"""
+    import pandas as pd
+
+    kwargs = {'batch_format': 'pyarrow'}
+    if concurrency:
+        kwargs['concurrency'] = concurrency
+    bucketed = ds.select_columns([id_column, embedding_column]).map_batches(
+        HyperplaneLSHStage(embedding_column, dim, n_planes), **kwargs)
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({'id_a': [], 'id_b': [], 'cosine': []})
+        group = group.sort_values(id_column)
+        ids = group[id_column].tolist()
+        emb = np.stack(group[embedding_column].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(emb, axis=1)
+        norms[norms == 0] = 1.0
+        unit = emb / norms[:, None]
+        sims = unit @ unit.T
+        out_a, out_b, out_c = [], [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sims[i, j] >= threshold:
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_c.append(round(float(sims[i, j]), 6))
+        return pd.DataFrame({'id_a': out_a, 'id_b': out_b, 'cosine': out_c})
+
+    return bucketed.groupby('bucket').map_groups(verify, batch_format='pandas')

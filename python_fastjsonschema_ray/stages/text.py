@@ -1,0 +1,166 @@
+"""Text-analysis stages for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All stages are ``map_batches`` callable classes: regexes and stopword tables
+compile once per actor in ``__init__``; per-batch work is pandas/numpy
+vectorized where the kernel exists, tight per-row loops with precompiled
+state otherwise.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+_WS_TOKEN = re.compile(r'\S+')
+# GPT2-style pre-tokenizer shape (contractions / words / punct / spaces),
+# simplified to stdlib `re` (no \p classes).
+_BPE_ISH = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+")
+_ALPHA = re.compile(r'[A-Za-z]')
+_PUNCT = re.compile(r'[!-/:-@\[-`{-~]')
+_CJK = re.compile(r'[一-鿿㐀-䶿]')
+
+STOPWORDS = {
+    'en': {'the', 'and', 'of', 'to', 'a', 'in', 'is', 'it', 'that', 'was',
+           'for', 'on', 'with', 'as', 'his', 'they', 'at', 'be', 'this'},
+    'de': {'der', 'die', 'das', 'und', 'ist', 'ich', 'nicht', 'ein', 'mit',
+           'auf', 'für', 'von', 'zu', 'den', 'sich', 'dem', 'auch', 'es'},
+    'fr': {'le', 'la', 'les', 'et', 'est', 'je', 'pas', 'un', 'une', 'avec',
+           'pour', 'de', 'du', 'des', 'que', 'qui', 'dans', 'il', 'au'},
+    'es': {'el', 'la', 'los', 'las', 'y', 'es', 'no', 'un', 'una', 'con',
+           'para', 'de', 'del', 'que', 'en', 'se', 'por', 'su', 'al'},
+}
+
+
+class TokenCountStage:
+    """Whitespace token count (oracle-matched: DuckDB
+    ``regexp_split_to_array + list_filter``) plus a BPE-ish subword
+    estimate."""
+
+    def __init__(self, column='text'):
+        self.column = column
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.column].fillna('')
+        batch['n_tokens'] = [len(_WS_TOKEN.findall(t)) for t in texts]
+        batch['n_subwords'] = [
+            sum(1 for m in _BPE_ISH.finditer(t) if not m.group().isspace())
+            for t in texts]
+        return batch
+
+
+class QualityStage:
+    """Cheap quality heuristics: length, alphabetic/punctuation ratios,
+    stopword ratio, mean word length, composite score in [0, 1]."""
+
+    def __init__(self, column='text'):
+        self.column = column
+        self.stop_en = STOPWORDS['en']
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.column].fillna('')
+        n_chars = texts.str.len()
+        alpha = texts.str.count(_ALPHA.pattern)
+        punct = texts.str.count(_PUNCT.pattern)
+        batch['n_chars'] = n_chars
+        batch['alpha_ratio'] = (alpha / n_chars.clip(lower=1)).round(6)
+        batch['punct_ratio'] = (punct / n_chars.clip(lower=1)).round(6)
+        stop_ratio = []
+        mean_wl = []
+        for t in texts:
+            words = t.lower().split()
+            if not words:
+                stop_ratio.append(0.0)
+                mean_wl.append(0.0)
+                continue
+            stop_ratio.append(sum(w in self.stop_en for w in words) / len(words))
+            mean_wl.append(sum(len(w) for w in words) / len(words))
+        batch['stopword_ratio'] = stop_ratio
+        batch['mean_word_len'] = mean_wl
+        # Composite: favor mid-length, alphabetic, some stopwords.
+        length_score = np.clip(n_chars / 200.0, 0, 1)
+        batch['quality_score'] = (
+            0.4 * batch['alpha_ratio'] + 0.3 * length_score
+            + 0.3 * np.clip(np.asarray(stop_ratio) * 4, 0, 1)).round(6)
+        return batch
+
+
+class LangIdStage:
+    """Stopword/script-based language ID over {en, de, fr, es, zh}.
+
+    CJK script ratio decides zh; otherwise the language with the most
+    stopword hits wins (en on ties/no-hits)."""
+
+    def __init__(self, column='text'):
+        self.column = column
+        self.tables = {lang: words for lang, words in STOPWORDS.items()}
+
+    def classify(self, text: str) -> str:
+        if not text:
+            return 'en'
+        cjk = len(_CJK.findall(text))
+        if cjk / max(len(text), 1) > 0.2:
+            return 'zh'
+        words = re.findall(r'[a-zàâäéèêëïîôöùûüç]+', text.lower())
+        if not words:
+            return 'en'
+        best, best_score = 'en', -1
+        for lang, table in self.tables.items():
+            score = sum(w in table for w in words)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch['lang_pred'] = [
+            self.classify(t) for t in batch[self.column].fillna('')]
+        return batch
+
+
+class FingerprintStage:
+    """Deterministic document fingerprint: polynomial rolling hash of the
+    whitespace-normalized lowercased text → int64.  Equal normalized content
+    ⇔ equal fingerprint (content-defined exact-dup key)."""
+
+    MOD = (1 << 61) - 1
+    BASE = 262_083
+
+    def __init__(self, column='text'):
+        self.column = column
+
+    def fingerprint(self, text: str) -> int:
+        normalized = ' '.join(text.lower().split())
+        h = 0
+        for ch in normalized.encode('utf-8'):
+            h = (h * self.BASE + ch) % self.MOD
+        return h - (1 << 62) if h > (1 << 61) else h
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch['fingerprint'] = [
+            self.fingerprint(t) for t in batch[self.column].fillna('')]
+        return batch
+
+
+def analyze_text(ds, column='text', *, concurrency=None, batch_size=4096):
+    """Token counts + quality + language + fingerprint in one actor pool."""
+    stages = [TokenCountStage(column), QualityStage(column),
+              LangIdStage(column), FingerprintStage(column)]
+
+    class Combined:
+        def __init__(self):
+            self.stages = stages
+
+        def __call__(self, batch):
+            for s in self.stages:
+                batch = s(batch)
+            return batch
+
+    kwargs = {'batch_format': 'pandas', 'batch_size': batch_size}
+    if concurrency is None:
+        import ray
+        concurrency = max(1, int(ray.cluster_resources().get('CPU', 2)) // 2)
+    kwargs['concurrency'] = concurrency
+    return ds.map_batches(Combined, **kwargs)

@@ -1,0 +1,160 @@
+"""Training-data operators: text analysis, dedup family, similarity search
+over the documents/embeddings testdata."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = '/root/testdata/sf0.001'
+
+
+@pytest.fixture(scope='module')
+def docs(ray_session):
+    import ray.data
+    return ray.data.read_parquet(SF + '/documents.parquet')
+
+
+@pytest.fixture(scope='module')
+def embeddings(ray_session):
+    import ray.data
+    return ray.data.read_parquet(SF + '/embeddings.parquet')
+
+
+def test_analyze_text(docs):
+    from python_fastjsonschema_ray.stages.text import analyze_text
+    out = analyze_text(docs).to_pandas()
+    assert {'n_tokens', 'n_subwords', 'alpha_ratio', 'quality_score',
+            'lang_pred', 'fingerprint'} <= set(out.columns)
+    assert (out['n_tokens'] > 0).all()
+    assert out['fingerprint'].nunique() == len(out)  # no dup texts in data
+
+
+def test_langid_heuristic():
+    # The testdata's lang column is a random label over identical
+    # English-ish token soup, so accuracy is tested on real sentences.
+    from python_fastjsonschema_ray.stages.text import LangIdStage
+    stage = LangIdStage()
+    cases = {
+        'en': 'the cat sat on the mat and it was happy that day',
+        'de': 'der hund ist nicht mit der katze auf dem sofa und auch nicht im garten',
+        'fr': 'le chat est dans la maison avec les enfants et il est content',
+        'es': 'el perro es grande y no come con los gatos en la casa',
+        'zh': '今天天气很好我们一起去公园散步吧然后吃晚饭',
+    }
+    for lang, text in cases.items():
+        assert stage.classify(text) == lang, (lang, stage.classify(text))
+
+
+def test_minhash_finds_planted_near_dups(ray_session, docs):
+    import ray.data
+    from python_fastjsonschema_ray.stages.dedup import (
+        jaccard, minhash_duplicate_pairs)
+    df = docs.to_pandas().head(40).copy()
+    # Plant near-duplicates: copy rows with a tiny suffix edit.
+    clones = df.head(5).copy()
+    clones['doc_id'] = clones['doc_id'] + 100000
+    clones['text'] = clones['text'] + ' extra'
+    both = ray.data.from_pandas(pd.concat([df, clones], ignore_index=True))
+    pairs = minhash_duplicate_pairs(both, 'doc_id', 'text',
+                                    threshold=0.8).take_all()
+    found = {(p['id_a'], p['id_b']) for p in pairs}
+    expected = {(d, d + 100000) for d in clones['doc_id'] - 100000}
+    assert expected <= found, (sorted(found), sorted(expected))
+    for p in pairs:
+        assert p['jaccard'] >= 0.8
+
+
+def test_minhash_recall_and_precision(ray_session, docs):
+    """The synthetic corpus draws from a tiny vocabulary, so genuine
+    near-duplicate pairs exist; compare LSH output against brute-force
+    shingle-Jaccard ground truth on a subset."""
+    import ray.data
+    from python_fastjsonschema_ray.stages.dedup import (
+        jaccard, minhash_duplicate_pairs)
+    df = docs.to_pandas().head(80)
+    truth = set()
+    texts = dict(zip(df['doc_id'], df['text']))
+    ids = sorted(texts)
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if jaccard(texts[ids[i]], texts[ids[j]]) >= 0.85:
+                truth.add((ids[i], ids[j]))
+    sub = ray.data.from_pandas(df)
+    pairs = minhash_duplicate_pairs(sub, 'doc_id', 'text',
+                                    threshold=0.8).take_all()
+    found = {(p['id_a'], p['id_b']) for p in pairs}
+    # Recall: every strong pair (>=0.85) must be found (banding miss
+    # probability at s=0.85 is ~5e-11 with 32 bands of 4 rows).
+    assert truth <= found, truth - found
+    # Precision: every reported pair passed exact verification >= 0.8.
+    for p in pairs:
+        assert p['jaccard'] >= 0.8
+
+
+def test_dedup_minhash_removes_losers(ray_session, docs):
+    import ray.data
+    from python_fastjsonschema_ray.stages.dedup import dedup_minhash
+    df = docs.to_pandas().head(30).copy()
+    clones = df.head(4).copy()
+    clones['doc_id'] = clones['doc_id'] + 100000
+    both = ray.data.from_pandas(pd.concat([df, clones], ignore_index=True))
+    from python_fastjsonschema_ray.stages.dedup import minhash_duplicate_pairs
+    pairs = minhash_duplicate_pairs(both, 'doc_id', 'text',
+                                    threshold=0.9).take_all()
+    losers = {p['id_b'] for p in pairs}
+    # The 4 exact clones must be among the losers (higher id loses).
+    assert {d + 100000 for d in clones['doc_id'] - 100000} <= losers
+    out = dedup_minhash(both, 'doc_id', 'text', threshold=0.9)
+    assert out.count() == 34 - len(losers)
+
+
+def test_simhash_buckets(ray_session, docs):
+    import ray.data
+    from python_fastjsonschema_ray.stages.dedup import simhash_buckets
+    df = docs.to_pandas().head(30).copy()
+    clones = df.head(3).copy()
+    clones['doc_id'] = clones['doc_id'] + 100000
+    both = ray.data.from_pandas(pd.concat([df, clones], ignore_index=True))
+    sigs, dup_sigs = simhash_buckets(both, 'doc_id', 'text')
+    assert dup_sigs.count() >= 3     # exact copies share signatures
+
+
+def test_embedding_near_dup(ray_session, embeddings):
+    import ray.data
+    from python_fastjsonschema_ray.stages.dedup import embedding_duplicate_pairs
+    df = embeddings.to_pandas().head(50).copy()
+    clones = df.head(4).copy()
+    clones['vec_id'] = clones['vec_id'] + 100000
+    both = ray.data.from_pandas(pd.concat([df, clones], ignore_index=True))
+    pairs = embedding_duplicate_pairs(both, 'vec_id', 'embedding', dim=64,
+                                      threshold=0.999).take_all()
+    found = {(p['id_a'], p['id_b']) for p in pairs}
+    expected = {(v, v + 100000) for v in clones['vec_id'] - 100000}
+    assert expected <= found
+
+
+def test_topk_cosine_matches_numpy(embeddings):
+    from python_fastjsonschema_ray.stages.ann import topk_cosine
+    df = embeddings.to_pandas()
+    mat = np.stack(df['embedding'].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal(64)
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    qn = q / np.linalg.norm(q)
+    sims = unit @ qn
+    expected = df['vec_id'].to_numpy()[np.argsort(-sims)][:10].tolist()
+    got = topk_cosine(embeddings, 'vec_id', 'embedding', q, k=10)
+    assert got['vec_id'].tolist() == expected
+
+
+def test_ivf_recall(embeddings):
+    from python_fastjsonschema_ray.stages.ann import (
+        build_ivf, topk_cosine, topk_cosine_ivf)
+    rng = np.random.default_rng(9)
+    q = rng.standard_normal(64)
+    exact = set(topk_cosine(embeddings, 'vec_id', 'embedding', q,
+                            k=10)['vec_id'])
+    tagged, centroids = build_ivf(embeddings, 'embedding', nlist=8)
+    approx = set(topk_cosine_ivf(tagged, centroids, 'vec_id', 'embedding',
+                                 q, k=10, nprobe=4)['vec_id'])
+    assert len(exact & approx) >= 6   # recall ≥ 0.6 with half the lists probed
