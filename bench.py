@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+   "flagship_rows": N, "flagship_rows_per_s": ...}
+
+``--scaling`` runs the same bench twice in fresh processes
+(RAY_GRAFT_CPUS=8 then 32) and reports both headline times plus the
+scaling efficiency ((t_lo/t_hi)/(32/8)).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')
+NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
+FLAGSHIP_ROWS = int(os.environ.get('GRAFT_FLAGSHIP_ROWS', '60000'))
+
+
+def run_scaling():
+    def run(ncpu):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+    # Warm the page cache once (untimed) so both levels measure compute.
+    run(8)
+    lo = run(8)
+    hi = run(32)
+    eff = (lo['value'] / hi['value']) / (32 / 8)
+    print(json.dumps({
+        'sec_8': lo['value'], 'sec_32': hi['value'],
+        'rows_per_s_8': lo.get('flagship_rows_per_s'),
+        'rows_per_s_32': hi.get('flagship_rows_per_s'),
+        'scaling_efficiency': round(eff, 3),
+        'queries_8': lo['queries'], 'queries_32': hi['queries'],
+    }))
+
+
+def main():
+    import ray
+    ray.init(address='local', num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level='ERROR')
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import logging
+    logging.getLogger('ray.data').setLevel(logging.ERROR)
+
+    import __ray_entry__ as entrymod
+
+    timings = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # -- headline 1: image flagship (the north-rule metric) ---------------
+    from python_fastjsonschema_ray.pipelines.flagship import run_flagship
+    from python_fastjsonschema_ray.sources.images import image_dataset
+
+    def flagship():
+        ds = image_dataset(FLAGSHIP_ROWS, seed=42, violation_rate=0.01,
+                           shard_size=4096).materialize()
+        t0 = time.perf_counter()
+        report, _ = run_flagship(ds, stats=True)
+        return report, time.perf_counter() - t0
+
+    report, flag_sec = flagship()
+    timings['image_flagship'] = round(flag_sec, 3)
+
+    # -- headline 2: driver-contract pipelines over $GRAFT_SF_DIR ---------
+    queries = entrymod.queries()
+    consume = {
+        'range_violations_lineitem', 'stats_lineitem', 'group_stats_lineitem',
+        'token_count_documents', 'minhash_pairs_documents', 'ann_topk',
+        'dedup_exact_documents', 'unique_events',
+    }
+    for name in sorted(consume):
+        fn = queries[name]
+
+        def run_one(fn=fn):
+            out = fn(SF_DIR)
+            if hasattr(out, 'to_pandas'):
+                out = out.to_pandas()
+            return out
+
+        timed(name, run_one)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip('/').rsplit('sf', 1)[-1]
+    print(json.dumps({
+        'metric': 'headline pipelines wall time (flagship validation + contract queries)',
+        'value': total,
+        'unit': 'sec',
+        'queries': timings,
+        'sf': float(sf) if sf.replace('.', '').isdigit() else sf,
+        'num_cpus': NUM_CPUS,
+        'flagship_rows': FLAGSHIP_ROWS,
+        'flagship_rows_per_s': round(FLAGSHIP_ROWS / flag_sec, 1),
+    }))
+    ray.shutdown()
+
+
+if __name__ == '__main__':
+    if '--scaling' in sys.argv:
+        run_scaling()
+    else:
+        main()
