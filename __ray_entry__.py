@@ -142,11 +142,11 @@ def q_unique_events(sf_dir: str):
 
 
 def q_dedup_exact_documents(sf_dir: str):
-    """Exact dedup winners (min doc_id per distinct text)."""
-    from python_fastjsonschema_ray.pipelines.constraints import dedup_exact
+    """Exact dedup winners (min doc_id per distinct text) — pure
+    groupby-aggregate, no per-group pandas overhead."""
+    from python_fastjsonschema_ray.pipelines.constraints import dedup_winner_ids
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
-    out = dedup_exact(ds, ['text'])
-    return out.select_columns(['doc_id'])
+    return dedup_winner_ids(ds, ['text'], 'doc_id')
 
 
 def q_token_count_documents(sf_dir: str):

@@ -158,6 +158,14 @@ class _KeyCountStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sub = batch.select(self.columns)
+        # Null keys break Ray's sort-based groupby partitioning and are the
+        # schema checks' business anyway: uniqueness applies to non-null keys.
+        mask = None
+        for c in self.columns:
+            valid = sub.column(c).is_valid()
+            mask = valid if mask is None else pc.and_(mask, valid)
+        if mask is not None:
+            sub = sub.filter(mask)
         grouped = sub.group_by(self.columns).aggregate(
             [([], 'count_all')])
         return grouped.rename_columns(list(self.columns) + ['partial_n'])
@@ -191,6 +199,17 @@ def dedup_exact(ds, columns, concurrency=None):
 
     return ds.groupby(list(columns)).map_groups(
         first_row, batch_format='pandas')
+
+
+def dedup_winner_ids(ds, columns, id_column):
+    """Winner ids of an exact dedup (min id per distinct key) — a pure
+    groupby-aggregate, far cheaper than per-group map_groups when groups
+    are numerous and tiny (no per-group pandas overhead).  At scale, filter
+    the full rows by broadcasting these ids (or semi-joining)."""
+    from ray.data.aggregate import Min
+
+    return ds.groupby(list(columns)).aggregate(
+        Min(id_column, alias_name=id_column)).select_columns([id_column])
 
 
 # ---------------------------------------------------------------------------
