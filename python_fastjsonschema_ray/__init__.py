@@ -19,7 +19,11 @@ from .exceptions import (
     SchemaViolation,
     SchemaViolations,
 )
-from .functions.scalar import compile, validate  # noqa: A001 (API parity)
+from .functions.scalar import (  # noqa: A001 (API parity)
+    compile,
+    compile_to_code,
+    validate,
+)
 
 VERSION = '0.1.0'
 __version__ = VERSION
@@ -34,5 +38,6 @@ __all__ = [
     'SchemaViolations',
     'SchemaDefinitionError',
     'compile',
+    'compile_to_code',
     'validate',
 ]

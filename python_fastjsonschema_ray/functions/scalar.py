@@ -1014,3 +1014,45 @@ def validate(definition, data, handlers=None, formats=None, use_default=True,
         definition, handlers, formats, use_default, use_formats,
         detailed_exceptions, fast_fail,
     )(data)
+
+
+def compile_to_code(definition, handlers=None, formats=None, use_default=True,
+                    use_formats=True, detailed_exceptions=True,
+                    fast_fail=True):
+    """Deployment-artifact analog of the reference's ``compile_to_code``
+    (``__init__.py:294-341``).  The reference serializes generated source;
+    this engine has no codegen, so the artifact embeds the (ref-validated)
+    schema + flags and recompiles the closure tree on import — same
+    contract: write the string to a module, import it, call
+    ``validate(data)``.  Custom *callable* formats cannot be serialized and
+    must be re-bound at import time via ``CUSTOM_FORMATS``."""
+    if handlers:
+        raise JsonSchemaDefinitionException(
+            'compile_to_code with remote handlers is not supported: resolve '
+            'refs before serializing')
+    # Validate the definition now so bad schemas fail at generation time,
+    # like the reference.
+    ScalarCompiler(definition, formats=formats, use_default=use_default,
+                   use_formats=use_formats,
+                   detailed_exceptions=detailed_exceptions,
+                   fast_fail=fast_fail).compile_root()
+    from .. import VERSION
+    regex_formats = {k: v for k, v in (formats or {}).items()
+                     if isinstance(v, str)}
+    has_callables = any(not isinstance(v, str) for v in (formats or {}).values())
+    lines = [
+        'VERSION = {!r}'.format(VERSION),
+        'from python_fastjsonschema_ray.functions.scalar import compile as _compile',
+        'SCHEMA = {!r}'.format(definition),
+        'CUSTOM_FORMATS = {!r}'.format(regex_formats),
+    ]
+    if has_callables:
+        lines.append('# NOTE: callable custom formats were bound at '
+                     'compile time and must be re-added to CUSTOM_FORMATS '
+                     'before use.')
+    lines.append(
+        'validate = _compile(SCHEMA, formats=CUSTOM_FORMATS, '
+        'use_default={!r}, use_formats={!r}, detailed_exceptions={!r}, '
+        'fast_fail={!r})'.format(use_default, use_formats,
+                                 detailed_exceptions, fast_fail))
+    return '\n'.join(lines) + '\n'

@@ -98,11 +98,9 @@ def average_phash(pixels: np.ndarray) -> int:
     ys = (np.arange(8) * h) // 8
     xs = (np.arange(8) * w) // 8
     block = gray[np.minimum(ys, h - 1)][:, np.minimum(xs, w - 1)]
-    bits = (block > block.mean()).astype(np.uint64).ravel()
-    value = np.uint64(0)
-    for b in bits:
-        value = (value << np.uint64(1)) | b
-    return int(value.astype(np.int64))
+    bits = (block > block.mean()).ravel()
+    value = int.from_bytes(np.packbits(bits).tobytes(), 'big')
+    return value - (1 << 64) if value >= (1 << 63) else value
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:

@@ -113,41 +113,93 @@ def minhash_duplicate_pairs(ds, id_column, text_column, *, threshold=0.8,
                             concurrency=None):
     """Near-duplicate pairs via MinHash-LSH: returns a Dataset of
     (id_a, id_b, jaccard) with id_a < id_b and exact shingle-Jaccard ≥
-    threshold.  Candidates found per LSH bucket; each pair verified once
-    (dedup by pair key inside the bucket group; cross-bucket pair dedup via
-    a final groupby on the pair)."""
+    threshold.
+
+    Shuffle discipline: only (band, band_hash, id) triples move through the
+    LSH groupby — never the text (b small rows per doc).  Candidate pairs
+    from multi-doc buckets are deduped with a pure aggregate (no per-group
+    pandas), and ONLY candidate ids' texts are fetched (semi-join via a
+    broadcast id set) for the exact-Jaccard verification."""
+    from ray.data.aggregate import Count
+    import ray
+
     stage = MinHashBandStage(id_column, text_column, num_perm, bands,
-                             shingle_k, carry_text=True)
+                             shingle_k, carry_text=False)
     kwargs = {'batch_format': 'pandas'}
     if concurrency:
         kwargs['concurrency'] = concurrency
     banded = ds.select_columns([id_column, text_column]).map_batches(
         stage, **kwargs)
 
-    k = shingle_k
-
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({'id_a': [], 'id_b': [], 'jaccard': []})
-        rows = group.drop_duplicates(subset=[id_column]) \
-            .sort_values(id_column)
-        ids = rows[id_column].tolist()
-        texts = rows[text_column].tolist()
-        out_a, out_b, out_j = [], [], []
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group[id_column].drop_duplicates())
+        if len(ids) < 2:
+            return pd.DataFrame({'id_a': [], 'id_b': []})
+        out_a, out_b = [], []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                sim = jaccard(texts[i], texts[j], k)
-                if sim >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_j.append(round(sim, 6))
-        return pd.DataFrame({'id_a': out_a, 'id_b': out_b, 'jaccard': out_j})
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({'id_a': out_a, 'id_b': out_b})
 
-    pairs = banded.groupby(['band', 'band_hash']).map_groups(
-        verify, batch_format='pandas')
-    # A pair can surface from several bands: keep one instance.
-    return pairs.groupby(['id_a', 'id_b']).map_groups(
-        lambda g: g.head(1), batch_format='pandas')
+    candidate_pairs = banded.groupby(['band', 'band_hash']).map_groups(
+        bucket_pairs, batch_format='pandas')
+    # Cross-band dedup: one row per distinct pair, via aggregate.
+    distinct_pairs = candidate_pairs.groupby(['id_a', 'id_b']).aggregate(
+        Count(alias_name='_nb')).drop_columns(['_nb'])
+
+    # Fetch texts only for candidate ids (a semi-join via broadcast id set;
+    # at scale the candidate fraction is the near-dup rate, not the corpus).
+    pair_ids = distinct_pairs.to_pandas()
+    import ray.data
+    if pair_ids.empty:
+        return ray.data.from_pandas(
+            pd.DataFrame({'id_a': [], 'id_b': [], 'jaccard': []}))
+    cand_ids = set(pair_ids['id_a']) | set(pair_ids['id_b'])
+    cand_ref = ray.put(cand_ids)
+
+    def pick(batch: pd.DataFrame) -> pd.DataFrame:
+        cand = ray.get(cand_ref)
+        return batch[batch[id_column].isin(cand)]
+
+    texts_df = ds.select_columns([id_column, text_column]).map_batches(
+        pick, batch_format='pandas').to_pandas()
+    texts_ref = ray.put(dict(zip(texts_df[id_column],
+                                 texts_df[text_column])))
+    n_cpus = max(1, int(ray.cluster_resources().get('CPU', 2)) // 2)
+    n_parts = min(max(1, len(pair_ids) // 4096), 4 * n_cpus) or 1
+    pairs_ds = ray.data.from_pandas(pair_ids).repartition(max(n_parts, 1))
+
+    class VerifyStage:
+        def __init__(self):
+            self.text_of = ray.get(texts_ref)
+            # Shingle-set cache: each id's set computed once per actor.
+            self.cache = {}
+
+        def _shingles(self, doc_id):
+            s = self.cache.get(doc_id)
+            if s is None:
+                s = self.cache[doc_id] = set(
+                    _shingle_hashes(self.text_of.get(doc_id, ''),
+                                    shingle_k).tolist())
+            return s
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            out_a, out_b, out_j = [], [], []
+            for a, b in zip(batch['id_a'], batch['id_b']):
+                sa, sb = self._shingles(a), self._shingles(b)
+                union = len(sa | sb)
+                sim = len(sa & sb) / union if union else 1.0
+                if sim >= threshold:
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_j.append(round(sim, 6))
+            return pd.DataFrame({'id_a': out_a, 'id_b': out_b,
+                                 'jaccard': out_j})
+
+    return pairs_ds.map_batches(
+        VerifyStage, batch_format='pandas', batch_size=8192,
+        concurrency=max(1, min(n_cpus, n_parts)), num_cpus=0.5)
 
 
 def dedup_minhash(ds, id_column, text_column, **kwargs):

@@ -1,0 +1,120 @@
+"""Stream-shaped operators over ordered event tables.
+
+Ray Data has no event-time windowing; per the engine design the events
+table is treated as a partitioned log: window membership is computed
+vectorized per batch, partially aggregated inside the batch (combiner), and
+a small ``groupby`` over (key, window) partials finishes the job — the
+shuffle moves one row per (key, window) per block, not per event.
+
+Session windows need the full per-key timeline, so they go through
+``groupby(key).map_groups`` with pandas on the sorted group (documented
+partitioning assumption: one group = one key's complete history).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class _TumblingPartialStage:
+    def __init__(self, ts_column, key_column, value_column, window_s):
+        self.ts_column = ts_column
+        self.key_column = key_column
+        self.value_column = value_column
+        self.window_us = int(window_s * 1_000_000)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ts = batch.column(self.ts_column).combine_chunks().cast(pa.int64())
+        bucket = pc.divide(ts, self.window_us)
+        sub = pa.table({
+            self.key_column: batch.column(self.key_column),
+            'window': bucket,
+            self.value_column: batch.column(self.value_column),
+        })
+        grouped = sub.group_by([self.key_column, 'window']).aggregate([
+            (self.value_column, 'sum'), (self.value_column, 'count')])
+        return grouped.rename_columns(
+            [self.key_column, 'window', 'partial_sum', 'partial_n'])
+
+
+def tumbling_window_agg(ds, ts_column, key_column, value_column, window_s,
+                        concurrency=None):
+    """Tumbling-window count/sum per key: returns
+    (key, window:int64 epoch-bucket, n, sum_value)."""
+    from ray.data.aggregate import Sum
+
+    kwargs = {'batch_format': 'pyarrow'}
+    if concurrency:
+        kwargs['concurrency'] = concurrency
+    partials = ds.map_batches(
+        _TumblingPartialStage(ts_column, key_column, value_column, window_s),
+        **kwargs)
+    return partials.groupby([key_column, 'window']).aggregate(
+        Sum('partial_n', alias_name='n'),
+        Sum('partial_sum', alias_name='sum_value'))
+
+
+def sliding_window_agg(ds, ts_column, key_column, value_column, window_s,
+                       slide_s, concurrency=None):
+    """Sliding windows as window_s/slide_s overlapping tumbling replicas:
+    each event contributes to ceil(window/slide) buckets (flat_map-style
+    expansion inside the partial stage)."""
+    from ray.data.aggregate import Sum
+
+    replicas = int(np.ceil(window_s / slide_s))
+    slide_us = int(slide_s * 1_000_000)
+    window_us = int(window_s * 1_000_000)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(batch.column(ts_column).combine_chunks()
+                        .cast(pa.int64()))
+        keys = batch.column(key_column)
+        vals = batch.column(value_column)
+        frames = []
+        for r in range(replicas):
+            start = ((ts - r * slide_us) // window_us) * window_us \
+                + r * slide_us
+            keep = ts >= start
+            frames.append(pa.table({
+                key_column: keys.filter(pa.array(keep)),
+                'window_start': pa.array(start[keep], type=pa.int64()),
+                value_column: vals.filter(pa.array(keep)),
+            }))
+        merged = pa.concat_tables(frames)
+        grouped = merged.group_by([key_column, 'window_start']).aggregate([
+            (value_column, 'sum'), (value_column, 'count')])
+        return grouped.rename_columns(
+            [key_column, 'window_start', 'partial_sum', 'partial_n'])
+
+    kwargs = {'batch_format': 'pyarrow'}
+    if concurrency:
+        kwargs['concurrency'] = concurrency
+    partials = ds.map_batches(expand, **kwargs)
+    return partials.groupby([key_column, 'window_start']).aggregate(
+        Sum('partial_n', alias_name='n'),
+        Sum('partial_sum', alias_name='sum_value'))
+
+
+def session_windows(ds, ts_column, key_column, gap_s, concurrency=None):
+    """Session windows (gap-based): per-key sorted scan inside map_groups.
+    Returns (key, session_start, session_end, n).  Partitioning assumption:
+    groupby co-locates each key's full history in one group."""
+    gap_us = int(gap_s * 1_000_000)
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(ts_column)
+        ts = g[ts_column].astype('int64').to_numpy()
+        breaks = np.nonzero(np.diff(ts) > gap_us)[0] + 1
+        starts = np.concatenate([[0], breaks])
+        ends = np.concatenate([breaks, [len(ts)]])
+        return pd.DataFrame({
+            key_column: [g[key_column].iloc[0]] * len(starts),
+            'session_start': ts[starts],
+            'session_end': ts[ends - 1],
+            'n': ends - starts,
+        })
+
+    return ds.groupby(key_column).map_groups(sessions, batch_format='pandas')
