@@ -215,6 +215,26 @@ def q_ann_topk(sf_dir: str):
     })
 
 
+def q_windowed_events(sf_dir: str):
+    """Tumbling-window aggregate (per-batch partial agg → small groupby)."""
+    from python_fastjsonschema_ray.stages.windows import tumbling_window_agg
+    ds = _read(sf_dir, 'events', ['ts', 'event_type', 'value'])
+    out = tumbling_window_agg(ds, 'ts', 'event_type', 'value', 3600)
+
+    def round_sum(batch: pd.DataFrame) -> pd.DataFrame:
+        batch['sum_value'] = batch['sum_value'].round(2)
+        return batch
+
+    return out.map_batches(round_sum, batch_format='pandas')
+
+
+def q_sessions_events(sf_dir: str):
+    """Session windows (30-min gap) per user (groupby + sorted map_groups)."""
+    from python_fastjsonschema_ray.stages.windows import session_windows
+    ds = _read(sf_dir, 'events', ['ts', 'user_id'])
+    return session_windows(ds, 'ts', 'user_id', 1800)
+
+
 def q_events_value_high(sf_dir: str):
     """maximum keyword over events.value with a threshold inside the domain."""
     from python_fastjsonschema_ray.pipelines.validate import validate_dataset
@@ -331,6 +351,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'embedding_dims': q_embedding_dims,
         'ann_topk': q_ann_topk,
         'events_value_high': q_events_value_high,
+        'windowed_events': q_windowed_events,
+        'sessions_events': q_sessions_events,
         # rows-only (no SQL equivalent):
         'langid_documents': q_langid_documents,
         'fingerprint_documents': q_fingerprint_documents,
@@ -431,5 +453,31 @@ def oracle_sql() -> dict[str, str]:
         'events_value_high': """
             SELECT CAST(event_id AS VARCHAR) AS key, 'maximum' AS rule
             FROM events WHERE value > 400
+        """,
+        'windowed_events': """
+            SELECT event_type,
+                   CAST(floor(epoch(ts) / 3600) AS BIGINT) AS window,
+                   count(*) AS n,
+                   ROUND(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        'sessions_events': """
+            WITH deltas AS (
+                SELECT user_id, epoch_us(ts) AS tsu,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                 > 1800000000
+                            OR lag(epoch_us(ts)) OVER w IS NULL
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), numbered AS (
+                SELECT user_id, tsu,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY tsu
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM deltas
+            )
+            SELECT user_id, min(tsu) AS session_start,
+                   max(tsu) AS session_end, count(*) AS n
+            FROM numbered GROUP BY user_id, sid
         """,
     }

@@ -106,7 +106,9 @@ def session_windows(ds, ts_column, key_column, gap_s, concurrency=None):
 
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values(ts_column)
-        ts = g[ts_column].astype('int64').to_numpy()
+        # Unit-robust: normalize whatever datetime64 unit pandas delivered
+        # to microseconds (Arrow timestamp[us] epoch).
+        ts = g[ts_column].to_numpy().astype('datetime64[us]').astype('int64')
         breaks = np.nonzero(np.diff(ts) > gap_us)[0] + 1
         starts = np.concatenate([[0], breaks])
         ends = np.concatenate([breaks, [len(ts)]])
