@@ -116,11 +116,10 @@ def minhash_duplicate_pairs(ds, id_column, text_column, *, threshold=0.8,
     threshold.
 
     Shuffle discipline: only (band, band_hash, id) triples move through the
-    LSH groupby — never the text (b small rows per doc).  Candidate pairs
-    from multi-doc buckets are deduped with a pure aggregate (no per-group
-    pandas), and ONLY candidate ids' texts are fetched (semi-join via a
-    broadcast id set) for the exact-Jaccard verification."""
-    from ray.data.aggregate import Count
+    LSH groupby — never the text (b small rows per doc); the groupby key is
+    the band id (32 coarse groups) with vectorized in-group bucketing, and
+    ONLY candidate ids' texts are fetched (semi-join via a broadcast id
+    set) for the distributed exact-Jaccard verification."""
     import ray
 
     stage = MinHashBandStage(id_column, text_column, num_perm, bands,
@@ -131,26 +130,42 @@ def minhash_duplicate_pairs(ds, id_column, text_column, *, threshold=0.8,
     banded = ds.select_columns([id_column, text_column]).map_batches(
         stage, **kwargs)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group[id_column].drop_duplicates())
-        if len(ids) < 2:
-            return pd.DataFrame({'id_a': [], 'id_b': []})
+    def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # One group = one whole band (32 groups total): bucket by band_hash
+        # inside the group with vectorized pandas/numpy, avoiding per-bucket
+        # map_groups overhead across hundreds of thousands of tiny buckets.
+        g = group.sort_values(['band_hash', id_column])
+        hashes = g['band_hash'].to_numpy()
+        ids = g[id_column].to_numpy()
+        boundaries = np.nonzero(np.diff(hashes))[0] + 1
+        starts = np.concatenate([[0], boundaries])
+        ends = np.concatenate([boundaries, [len(hashes)]])
         out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({'id_a': out_a, 'id_b': out_b})
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            bucket = np.unique(ids[s:e])
+            n = len(bucket)
+            if n < 2:
+                continue
+            ii, jj = np.triu_indices(n, k=1)
+            out_a.append(bucket[ii])
+            out_b.append(bucket[jj])
+        if not out_a:
+            return pd.DataFrame({'id_a': [], 'id_b': []})
+        return pd.DataFrame({'id_a': np.concatenate(out_a),
+                             'id_b': np.concatenate(out_b)})
 
-    candidate_pairs = banded.groupby(['band', 'band_hash']).map_groups(
-        bucket_pairs, batch_format='pandas')
-    # Cross-band dedup: one row per distinct pair, via aggregate.
-    distinct_pairs = candidate_pairs.groupby(['id_a', 'id_b']).aggregate(
-        Count(alias_name='_nb')).drop_columns(['_nb'])
-
-    # Fetch texts only for candidate ids (a semi-join via broadcast id set;
-    # at scale the candidate fraction is the near-dup rate, not the corpus).
-    pair_ids = distinct_pairs.to_pandas()
+    candidate_pairs = banded.groupby('band').map_groups(
+        band_pairs, batch_format='pandas')
+    # Cross-band dedup on the driver: candidate pairs are proportional to
+    # the near-dup rate, not the corpus (Ray's sort-based aggregate costs
+    # ~0.5 ms per group at 10^5+ tiny groups — measured 190 s for 350 k
+    # pairs — while a pandas drop_duplicates is milliseconds).  If the pair
+    # set ever outgrows the driver, shard it by hash(id_a) with map_batches
+    # and dedupe per shard.
+    pair_ids = candidate_pairs.to_pandas().drop_duplicates(
+        ['id_a', 'id_b'], ignore_index=True)
     import ray.data
     if pair_ids.empty:
         return ray.data.from_pandas(
