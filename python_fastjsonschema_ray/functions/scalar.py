@@ -141,8 +141,15 @@ class ScalarCompiler:
                  use_formats=True, detailed_exceptions=True, fast_fail=True,
                  handlers=None, registry=None):
         # Never mutate the caller's schema: the registry walk rewrites $ref
-        # URIs in place (refs.py), so work on a deep copy.
-        definition = copy.deepcopy(definition)
+        # URIs in place (refs.py), so work on a deep copy.  A schema too
+        # deep to even copy is over the DoS cap by definition.
+        try:
+            definition = copy.deepcopy(definition)
+        except RecursionError:
+            from .refs import MAX_SCHEMA_WALK_DEPTH
+            raise JsonSchemaDefinitionException(
+                'Schema is too deeply nested (maximum depth is {})'.format(
+                    MAX_SCHEMA_WALK_DEPTH)) from None
         self.draft = pick_draft(definition) if draft is None else draft
         self.registry = registry or SchemaRegistry.from_schema(definition, handlers=handlers)
         self.definition = definition

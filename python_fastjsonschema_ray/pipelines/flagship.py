@@ -47,33 +47,53 @@ IMAGE_TABLE_SPEC = {
 }
 
 
-def _decode_violations(batch: pa.Table) -> pa.Table:
-    """Project decode-check results into violation-shaped rows."""
-    from ..stages.decode import DecodeCheckStage
-    res = DecodeCheckStage()(batch)
-    ids = res.column('image_id').to_pylist()
-    rows = {'key': [], 'rule': [], 'message': []}
-    for i, r in enumerate(res.to_pylist()):
-        if not r['decode_ok']:
-            rows['key'].append(ids[i])
-            rows['rule'].append('decode')
-            rows['message'].append('data.bytes failed to decode: {}'.format(
-                r['error']))
-        elif not r['dims_match']:
-            rows['key'].append(ids[i])
-            rows['rule'].append('dims')
-            rows['message'].append(
-                'data.w/data.h declared dims do not match decoded payload')
-        elif not r['phash_match']:
-            rows['key'].append(ids[i])
-            rows['rule'].append('phash')
-            rows['message'].append(
-                'data.phash does not match decoded content hash')
-    return pa.table({
-        'key': pa.array(rows['key'], type=pa.string()),
-        'rule': pa.array(rows['rule'], type=pa.string()),
-        'message': pa.array(rows['message'], type=pa.string()),
-    })
+class ValidateAndDecodeStage:
+    """ONE actor pool doing the heavy per-row work in a single streaming
+    pass: compiled-schema validation + decode/integrity checks, emitting
+    unified violation rows (source='schema'|'content').  Combining the two
+    stages eliminates a second read + actor-pool spin-up and keeps the
+    pipeline compute-bound (the scaling-efficiency lever)."""
+
+    def __init__(self, schema: pa.Schema, fast_fail=True):
+        from ..stages.decode import DecodeCheckStage
+        from .validate import TableValidator
+        self.validator = TableValidator(IMAGE_TABLE_SPEC, schema,
+                                        key_column='image_id',
+                                        fast_fail=fast_fail)
+        self.decoder = DecodeCheckStage()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        result = self.validator.validate_batch(batch)
+        vt = self.validator.violations_table(batch, result)
+        keys = vt.column('key').to_pylist()
+        rules = vt.column('rule').to_pylist()
+        msgs = vt.column('message').to_pylist()
+        srcs = ['schema'] * len(keys)
+
+        res = self.decoder(batch)
+        ids = res.column('image_id').to_pylist()
+        for i, r in enumerate(res.to_pylist()):
+            if not r['decode_ok']:
+                keys.append(ids[i])
+                rules.append('decode')
+                msgs.append('data.bytes failed to decode: {}'.format(r['error']))
+            elif not r['dims_match']:
+                keys.append(ids[i])
+                rules.append('dims')
+                msgs.append('data.w/data.h declared dims do not match '
+                            'decoded payload')
+            elif not r['phash_match']:
+                keys.append(ids[i])
+                rules.append('phash')
+                msgs.append('data.phash does not match decoded content hash')
+            srcs = srcs
+        srcs += ['content'] * (len(keys) - len(srcs))
+        return pa.table({
+            'key': pa.array(keys, type=pa.string()),
+            'source': pa.array(srcs, type=pa.string()),
+            'rule': pa.array(rules, type=pa.string()),
+            'message': pa.array(msgs, type=pa.string()),
+        })
 
 
 def run_flagship(ds, *, reference_phashes=None, width_profile=None,
@@ -85,20 +105,26 @@ def run_flagship(ds, *, reference_phashes=None, width_profile=None,
     reference for the ``w`` column; None skips drift."""
     report = {}
 
-    # 1. Schema validation (one streaming pass → violation rows).
-    schema_violations = validate_dataset(
-        ds, IMAGE_TABLE_SPEC, mode='violations', key_column='image_id',
-        concurrency=concurrency)
-    sv = schema_violations.groupby('rule').count().to_pandas()
-    report['schema_violations'] = dict(zip(sv['rule'], sv['count()'])) \
-        if len(sv) else {}
-
-    # 2. Decode/integrity checks (actor pool; pixels stay in workers).
-    decode_violations = ds.map_batches(
-        _decode_violations, batch_format='pyarrow', batch_size=1024)
-    dv = decode_violations.groupby('rule').count().to_pandas()
-    report['content_violations'] = dict(zip(dv['rule'], dv['count()'])) \
-        if len(dv) else {}
+    # 1+2. Schema validation + decode/integrity in ONE actor-pool pass
+    # (pixels stay in workers; only violation rows leave).
+    arrow_schema = pa.schema(
+        [pa.field(n, t) for n, t in
+         zip(ds.schema().names, ds.schema().types)])
+    if concurrency is None:
+        import ray
+        concurrency = max(1, int(ray.cluster_resources().get('CPU', 2)) - 2)
+    violations = ds.map_batches(
+        ValidateAndDecodeStage, fn_constructor_args=(arrow_schema,),
+        batch_format='pyarrow', batch_size=2048, zero_copy_batch=True,
+        concurrency=concurrency, num_cpus=1)
+    vdf = violations.groupby(['source', 'rule']).count().to_pandas()
+    report['schema_violations'] = {
+        r: int(n) for s, r, n in
+        zip(vdf['source'], vdf['rule'], vdf['count()']) if s == 'schema'}
+    report['content_violations'] = {
+        r: int(n) for s, r, n in
+        zip(vdf['source'], vdf['rule'], vdf['count()']) if s == 'content'}
+    schema_violations = violations
 
     # 3. Uniqueness on (phash, image_id).
     dups = check_unique(ds.select_columns(['phash', 'image_id']),

@@ -34,10 +34,9 @@ def test_flagship_report(image_ds):
     assert stats['w']['count'] == 2000
     assert 1 <= float(stats['w']['min'])
 
-    # Violation rows carry the reference payload shape.
+    # Combined violation rows carry key/source/rule/message.
     sample = violations.take(1)[0]
-    assert set(sample) >= {'key', 'name', 'message', 'rule', 'value',
-                           'definition', 'rule_definition'}
+    assert set(sample) >= {'key', 'source', 'rule', 'message'}
 
 
 def test_flagship_drift(image_ds, ray_session):
