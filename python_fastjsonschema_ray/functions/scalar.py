@@ -272,12 +272,29 @@ class ScalarCompiler:
                 if check is not None:
                     checks.append(check)
 
+        # Custom plugin keywords run after the built-ins (functions/plugins).
+        from .plugins import REGISTRY as _PLUGINS
+        for plug_name, plugin in _PLUGINS.items():
+            if plug_name in definition and plugin.check_value is not None:
+                checks.append(self._custom_check(plugin, definition))
+
         def run(cell, name, errors):
             local = {}
             for check in checks:
                 check(cell, name, errors, local)
 
         return run
+
+    def _custom_check(self, plugin, definition):
+        emit = self._emit(definition, plugin.name)
+        fn = plugin.check_value
+
+        def check(cell, name, errors, local):
+            tail = fn(cell[0], definition)
+            if tail is not None:
+                emit(name + tail, cell, name, errors)
+
+        return check
 
     def _compile_ref(self, definition):
         # The ref (fragment included) identifies the target function; mirror

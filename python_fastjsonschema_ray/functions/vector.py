@@ -1054,7 +1054,36 @@ class VectorCompiler:
                 rule = self._fallback_rule({keyword: definition[keyword]})
             if rule is not None:
                 rules.append(rule)
+        # Custom plugin keywords after the built-ins (functions/plugins).
+        from .plugins import REGISTRY as _PLUGINS
+        for plug_name, plugin in _PLUGINS.items():
+            if plug_name not in definition:
+                continue
+            rule = None
+            if plugin.vector is not None:
+                rule = plugin.vector(definition, dtype, self)
+            if rule is None and plugin.check_value is not None:
+                rule = self._plugin_row_rule(plugin, definition)
+            if rule is not None:
+                rules.append(rule)
         return NodePlan(rules)
+
+    def _plugin_row_rule(self, plugin, definition):
+        fn = plugin.check_value
+        expanded = self._expand(definition)
+
+        def mask(view):
+            values = view.arr.to_pylist()
+            return np.fromiter(
+                (v is not None and fn(v, definition) is not None
+                 for v in values), dtype=bool, count=view.n)
+
+        def message_fn(view, idx):
+            values = view.values_at(idx)
+            return [view.name_fn(int(j)) + (fn(values[i], definition) or '')
+                    for i, j in enumerate(idx)]
+
+        return SimpleRule(plugin.name, expanded, mask, message_fn=message_fn)
 
     def _fallback_rule(self, definition):
         """Per-keyword scalar fallback embedded in the vector plan."""

@@ -47,6 +47,35 @@ IMAGE_TABLE_SPEC = {
 }
 
 
+# Per-worker-process compiled-stage cache: plain-function map_batches runs
+# in Ray's long-lived worker processes, so the plan compiles once per worker
+# (the task-pool analog of actor __init__ state) while tasks scale
+# elastically with zero pool spin-up cost.
+_STAGE_CACHE = {}
+
+
+def validation_pass(ds, *, fast_fail=True, batch_size=2048):
+    """The flagship's heavy single pass: schema validation + decode/
+    integrity checks as stateless tasks over zero-copy Arrow batches,
+    emitting unified violation rows."""
+    arrow_schema = pa.schema(
+        [pa.field(n, t) for n, t in
+         zip(ds.schema().names, ds.schema().types)])
+    schema_bytes = arrow_schema.serialize().to_pybytes()
+
+    def run_batch(batch: pa.Table) -> pa.Table:
+        key = (schema_bytes, fast_fail)
+        stage = _STAGE_CACHE.get(key)
+        if stage is None:
+            stage = _STAGE_CACHE[key] = ValidateAndDecodeStage(
+                pa.ipc.read_schema(pa.BufferReader(schema_bytes)),
+                fast_fail=fast_fail)
+        return stage(batch)
+
+    return ds.map_batches(run_batch, batch_format='pyarrow',
+                          batch_size=batch_size, zero_copy_batch=True)
+
+
 class ValidateAndDecodeStage:
     """ONE actor pool doing the heavy per-row work in a single streaming
     pass: compiled-schema validation + decode/integrity checks, emitting
@@ -105,18 +134,9 @@ def run_flagship(ds, *, reference_phashes=None, width_profile=None,
     reference for the ``w`` column; None skips drift."""
     report = {}
 
-    # 1+2. Schema validation + decode/integrity in ONE actor-pool pass
+    # 1+2. Schema validation + decode/integrity in ONE streaming pass
     # (pixels stay in workers; only violation rows leave).
-    arrow_schema = pa.schema(
-        [pa.field(n, t) for n, t in
-         zip(ds.schema().names, ds.schema().types)])
-    if concurrency is None:
-        import ray
-        concurrency = max(1, int(ray.cluster_resources().get('CPU', 2)) - 2)
-    violations = ds.map_batches(
-        ValidateAndDecodeStage, fn_constructor_args=(arrow_schema,),
-        batch_format='pyarrow', batch_size=2048, zero_copy_batch=True,
-        concurrency=concurrency, num_cpus=1)
+    violations = validation_pass(ds)
     vdf = violations.groupby(['source', 'rule']).count().to_pandas()
     report['schema_violations'] = {
         r: int(n) for s, r, n in

@@ -1,0 +1,79 @@
+"""Custom-keyword plugin API: scalar + vector paths, and the Lance-aware
+reader adapter."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import python_fastjsonschema_ray as engine
+from python_fastjsonschema_ray.functions.plugins import (
+    register_keyword, unregister_keyword)
+from python_fastjsonschema_ray.pipelines.validate import TableValidator
+
+
+@pytest.fixture
+def even_keyword():
+    def check_even(value, definition):
+        if isinstance(value, int) and not isinstance(value, bool) \
+                and value % 2 != (0 if definition['isEven'] else 1):
+            return ' must be even' if definition['isEven'] else ' must be odd'
+        return None
+
+    register_keyword('isEven', check_value=check_even)
+    yield
+    unregister_keyword('isEven')
+
+
+def test_scalar_plugin(even_keyword):
+    validate = engine.compile({'isEven': True})
+    assert validate(4) == 4
+    with pytest.raises(engine.JsonSchemaValueException) as e:
+        validate(3)
+    assert e.value.message == 'data must be even'
+    assert e.value.rule == 'isEven'
+    assert e.value.definition == {'isEven': True}
+
+
+def test_vector_plugin_row_kernel(even_keyword):
+    table = pa.table({'x': pa.array([2, 3, None, 8], type=pa.int64())})
+    tv = TableValidator({'properties': {'x': {'isEven': True}}}, table.schema)
+    result = tv.validate_batch(table)
+    assert list(result.valid) == [True, False, True, True]
+    row, rec = result.records[0]
+    assert row == 1
+    assert rec[1] == 'data.x must be even'
+    assert rec[2] == 'isEven'
+
+
+def test_vector_plugin_vectorized():
+    from python_fastjsonschema_ray.functions.vector import SimpleRule
+
+    def vector_even(definition, dtype, compiler):
+        if not pa.types.is_integer(dtype):
+            return None
+
+        def mask(view):
+            vals = np.asarray(view.arr.fill_null(0))
+            fail = (vals % 2) != 0
+            fail &= view.valid_mask()
+            return fail
+        return SimpleRule('isEven', compiler._expand(definition), mask,
+                          ' must be even')
+
+    register_keyword('isEven', vector=vector_even)
+    try:
+        table = pa.table({'x': pa.array([2, 3], type=pa.int64())})
+        tv = TableValidator({'properties': {'x': {'isEven': True}}},
+                            table.schema)
+        result = tv.validate_batch(table)
+        assert list(result.valid) == [True, False]
+    finally:
+        unregister_keyword('isEven')
+
+
+def test_reader_parquet_fallback(ray_session):
+    from python_fastjsonschema_ray.sources.reader import read_table
+    ds = read_table('/root/testdata/sf0.001/region.parquet',
+                    columns=['r_name'])
+    assert ds.count() == 5
+    assert ds.schema().names == ['r_name']
