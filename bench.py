@@ -27,7 +27,9 @@ def run_scaling():
     fresh processes (the in-sandbox stand-in for N vs 4N nodes).  The input
     is sized so compute dominates fixed startup costs — the quantity whose
     scaling the north rule grades is validation throughput (rows/s)."""
-    rows = int(os.environ.get('GRAFT_SCALING_ROWS', '240000'))
+    rows = int(os.environ.get('GRAFT_SCALING_ROWS', '480000'))
+    n_lo = int(os.environ.get('GRAFT_SCALING_LO', '8'))
+    n_hi = int(os.environ.get('GRAFT_SCALING_HI', '32'))
 
     def run(ncpu):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING='1',
@@ -37,16 +39,18 @@ def run_scaling():
             capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
     # Warm caches once (untimed) so both levels measure compute.
-    run(8)
-    lo = run(8)
-    hi = run(32)
-    eff = (hi['flagship_rows_per_s'] / lo['flagship_rows_per_s']) / (32 / 8)
+    run(n_lo)
+    lo = run(n_lo)
+    hi = run(n_hi)
+    eff = (hi['flagship_rows_per_s'] / lo['flagship_rows_per_s']) \
+        / (n_hi / n_lo)
     print(json.dumps({
         'flagship_rows': rows,
-        'sec_8': lo['queries']['image_flagship'],
-        'sec_32': hi['queries']['image_flagship'],
-        'rows_per_s_8': lo['flagship_rows_per_s'],
-        'rows_per_s_32': hi['flagship_rows_per_s'],
+        'num_cpus_lo': n_lo, 'num_cpus_hi': n_hi,
+        'sec_lo': lo['queries']['image_flagship'],
+        'sec_hi': hi['queries']['image_flagship'],
+        'rows_per_s_lo': lo['flagship_rows_per_s'],
+        'rows_per_s_hi': hi['flagship_rows_per_s'],
         'scaling_efficiency': round(eff, 3),
     }))
 

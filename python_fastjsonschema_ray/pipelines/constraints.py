@@ -297,6 +297,41 @@ def _half_cpus():
     return max(1, total // 2)
 
 
+def salted_group_agg(ds, key_columns, value_column, num_salts=16,
+                     concurrency=None):
+    """Skew-safe grouped sum/count: salt the key into ``num_salts``
+    sub-keys so one hot key (e.g. the dominant ``fmt`` value) spreads over
+    many reducers, then fold the salt back out with a second, tiny groupby.
+
+    Use when per-group *row* volume is skewed AND the downstream is a
+    simple algebraic aggregate; the per-batch combiner in _KeyCountStage
+    already de-skews the pure-count case."""
+    from ray.data.aggregate import Sum
+
+    key_columns = list(key_columns)
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        salt = np.arange(batch.num_rows, dtype=np.int64) % num_salts
+        sub = batch.select(key_columns + [value_column]) \
+            .append_column('_salt', pa.array(salt))
+        grouped = sub.group_by(key_columns + ['_salt']).aggregate(
+            [(value_column, 'sum'), (value_column, 'count')])
+        return grouped.rename_columns(
+            key_columns + ['_salt', 'partial_sum', 'partial_n'])
+
+    kwargs = {'batch_format': 'pyarrow'}
+    if concurrency:
+        kwargs['concurrency'] = concurrency
+    partials = ds.map_batches(add_salt, **kwargs)
+    salted = partials.groupby(key_columns + ['_salt']).aggregate(
+        Sum('partial_sum', alias_name='salted_sum'),
+        Sum('partial_n', alias_name='salted_n'))
+    final = salted.groupby(key_columns).aggregate(
+        Sum('salted_sum', alias_name='sum_value'),
+        Sum('salted_n', alias_name='n'))
+    return final
+
+
 # ---------------------------------------------------------------------------
 # Distribution drift (PSI / KS against a reference profile)
 

@@ -345,6 +345,18 @@ class ValidatorStage:
         raise ValueError('unknown mode {}'.format(self.mode))
 
 
+def top_violation_examples(violations_ds, k=5):
+    """First-k violation examples per rule (triage view): rules are few, so
+    a per-rule head is a cheap groupby over already-small violation rows."""
+    import pandas as pd
+
+    def head(group: pd.DataFrame) -> pd.DataFrame:
+        return group.head(k)
+
+    return violations_ds.groupby('rule').map_groups(head,
+                                                    batch_format='pandas')
+
+
 def validate_dataset(ds, definition, *, mode='annotate', key_column=None,
                      concurrency=None, batch_size=None, **flags):
     """Attach a validation stage to a Ray Data dataset.

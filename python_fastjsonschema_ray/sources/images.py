@@ -93,7 +93,10 @@ def decode_image(data: bytes, fmt: str, w: int = None, h: int = None):
 def average_phash(pixels: np.ndarray) -> int:
     """Perceptual-hash stand-in: 8x8 average hash of the grayscale image →
     signed int64.  Deterministic, pure numpy."""
-    gray = pixels.astype(np.float64).mean(axis=2)
+    # Integer channel sum instead of float mean: the x3 factor cancels in
+    # the block>mean comparison, so the hash bits are unchanged while the
+    # big float64 allocation disappears from the per-row hot path.
+    gray = pixels.sum(axis=2, dtype=np.int32)
     h, w = gray.shape
     ys = (np.arange(8) * h) // 8
     xs = (np.arange(8) * w) // 8
