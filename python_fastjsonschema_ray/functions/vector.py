@@ -365,6 +365,15 @@ class AnyOfRule(Rule):
         super().__init__()
         self.plans = plans
         self.definition = definition
+        self.span = sum(p.span for p in plans) + 1
+
+    def set_offset(self, value):
+        super().set_offset(value)
+        off = value
+        for p in self.plans:
+            p.set_offset(off)
+            off += p.span
+        self._own_off = off
 
     def evaluate(self, view, collect):
         if collect:
@@ -393,7 +402,7 @@ class AnyOfRule(Rule):
         def message_fn(v, i):
             return [v.name_fn(int(j)) + ' cannot be validated by any definition'
                     for j in i]
-        return make_emit(view, idx, self.offset, 'anyOf', self.definition,
+        return make_emit(view, idx, self._own_off, 'anyOf', self.definition,
                          message_fn)
 
 
@@ -402,6 +411,15 @@ class OneOfRule(Rule):
         super().__init__()
         self.plans = plans
         self.definition = definition
+        self.span = sum(p.span for p in plans) + 1
+
+    def set_offset(self, value):
+        super().set_offset(value)
+        off = value
+        for p in self.plans:
+            p.set_offset(off)
+            off += p.span
+        self._own_off = off
 
     def evaluate(self, view, collect):
         if collect:
@@ -436,7 +454,7 @@ class OneOfRule(Rule):
         def message_fn(v, i, _c=counts):
             return ['{} must be valid exactly by one definition ({} matches found)'
                     .format(v.name_fn(int(j)), int(_c[j])) for j in i]
-        return make_emit(view, idx, self.offset, 'oneOf', self.definition,
+        return make_emit(view, idx, self._own_off, 'oneOf', self.definition,
                          message_fn)
 
 
@@ -446,6 +464,13 @@ class NotRule(Rule):
         self.plan = plan
         self.definition = definition
         self.mode = mode    # 'schema' | 'always' | 'always_disallowed'
+        self.span = (plan.span if plan is not None else 0) + 1
+
+    def set_offset(self, value):
+        super().set_offset(value)
+        if self.plan is not None:
+            self.plan.set_offset(value)
+        self._own_off = value + (self.plan.span if self.plan is not None else 0)
 
     def evaluate(self, view, collect):
         if self.mode == 'always':
@@ -472,7 +497,7 @@ class NotRule(Rule):
 
         def message_fn(v, i, _t=tail):
             return [v.name_fn(int(j)) + _t for j in i]
-        return make_emit(view, idx, self.offset, 'not', self.definition,
+        return make_emit(view, idx, self._own_off, 'not', self.definition,
                          message_fn)
 
 
@@ -791,10 +816,10 @@ class ForbidExtraColumnsRule(Rule):
     present row violates, message embeds the leftover key set
     (draft04.py:629-631)."""
 
-    def __init__(self, definition, leftover):
+    def __init__(self, definition, leftover_set):
         super().__init__()
         self.definition = definition
-        self.leftover = set(leftover)
+        self.leftover = leftover_set
 
     def evaluate(self, view, collect):
         fail = view.valid_mask().copy()
@@ -1238,13 +1263,17 @@ class VectorCompiler:
             if pa.types.is_boolean(dtype) or _is_string(dtype):
                 value_set = pa.array(options)
             else:
-                value_set = pa.array([float(x) for x in options],
+                # +0.0 collapses -0.0 to 0.0: Arrow's is_in compares floats
+                # bitwise, Python's == (the reference semantics) does not.
+                value_set = pa.array([float(x) + 0.0 for x in options],
                                      type=pa.float64())
 
             def mask(view, _vs=value_set):
                 arr = view.arr
-                if _is_number(arr.type) and not pa.types.is_floating(arr.type):
-                    arr = arr.cast(pa.float64())
+                if _is_number(arr.type):
+                    if not pa.types.is_floating(arr.type):
+                        arr = arr.cast(pa.float64())
+                    arr = pc.add(arr, 0.0)
                 isin = pc.is_in(arr, value_set=_vs, skip_nulls=True)
                 fail = ~_np_bool(isin, view.n)
                 if null_ok:
@@ -1702,13 +1731,22 @@ class VectorCompiler:
         for pattern in definition.get('patternProperties', {}):
             rx = re.compile(pattern)
             consumed |= {k for k in keys if rx.search(k)}
-        leftover = [k for k in keys if k not in consumed]
+        # The reference iterates the runtime keys SET (built from all keys,
+        # consumed ones removed — draft04.py:621); reproduce that exact set
+        # construction so iteration order (and the repr in the forbid
+        # message) matches within-process.
+        leftover_set = set(keys)
+        for k in keys:
+            if k in consumed:
+                leftover_set.discard(k)
+        leftover = list(leftover_set)
         if add is True or add == {}:
             return None
         if add is False:
             if not leftover:
                 return None
-            return ForbidExtraColumnsRule(self._expand(definition), leftover)
+            return ForbidExtraColumnsRule(self._expand(definition),
+                                          leftover_set)
         prop_keys = list(definition.get('properties', {}).keys())
         fields = [
             (k, names[k], self.compile_node(add, dtype.field(names[k]).type))

@@ -54,6 +54,30 @@ col_schemas = st.one_of(
 )
 
 
+structs = st.one_of(
+    st.none(),
+    st.fixed_dictionaries({'a': ints, 'b': texts}))
+
+struct_schemas = st.one_of(
+    st.fixed_dictionaries({'type': st.just('object')}),
+    st.fixed_dictionaries({'required': st.lists(
+        st.sampled_from(['a', 'b', 'zz']), unique=True, max_size=2)}),
+    st.fixed_dictionaries({'properties': st.fixed_dictionaries({
+        'a': st.fixed_dictionaries({'minimum': st.integers(-5, 5)}),
+        'b': st.fixed_dictionaries({'minLength': st.integers(0, 3)}),
+    })}),
+    st.fixed_dictionaries({'minProperties': st.integers(0, 4)}),
+    st.fixed_dictionaries({'propertyNames': st.fixed_dictionaries(
+        {'maxLength': st.integers(0, 2)})}),
+    st.fixed_dictionaries({'dependencies': st.fixed_dictionaries(
+        {'a': st.sampled_from([['b'], ['zz'], False])})}),
+    st.fixed_dictionaries({'additionalProperties': st.sampled_from(
+        [False, {'type': 'string'}])}),
+)
+
+_STRUCT_T = pa.struct([('a', pa.int64()), ('b', pa.string())])
+
+
 @st.composite
 def table_and_schema(draw):
     n = draw(st.integers(1, 8))
@@ -69,6 +93,10 @@ def table_and_schema(draw):
         if draw(st.booleans()):
             cols[name] = pa.array(draw(values), type=typ)
             props[name] = draw(col_schemas)
+    if draw(st.booleans()):
+        cols['o'] = pa.array(
+            draw(st.lists(structs, min_size=n, max_size=n)), type=_STRUCT_T)
+        props['o'] = draw(struct_schemas)
     if not cols:
         cols['i'] = pa.array(draw(
             st.lists(ints, min_size=n, max_size=n)), type=pa.int64())
