@@ -50,3 +50,16 @@ def test_flagship_drift(image_ds, ray_session):
     report, _ = run_flagship(other, width_profile=profile, width_edges=edges,
                              stats=False)
     assert not report['drift']['drifted'], report['drift']
+
+
+def test_image_table_reference_parity(reference):
+    """North-rule invariant: per-row pass/fail verdicts AND full violation
+    payloads on the image+caption table must match the reference validating
+    each row as a document against IMAGE_TABLE_SPEC."""
+    from python_fastjsonschema_ray.pipelines.flagship import IMAGE_TABLE_SPEC
+    from python_fastjsonschema_ray.sources.images import image_batch
+    from .test_vector_parity import assert_table_parity
+    table = image_batch(0, 1500, seed=42, violation_rate=0.01)
+    for fast_fail in (True, False):
+        assert_table_parity(reference, IMAGE_TABLE_SPEC, table,
+                            fast_fail=fast_fail)
