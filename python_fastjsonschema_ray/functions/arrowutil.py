@@ -1,9 +1,43 @@
-"""Small Arrow interop helpers shared by embedding stages."""
+"""Small Arrow interop helpers shared across stages."""
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+
+def _has_map(dt: pa.DataType) -> bool:
+    if pa.types.is_map(dt):
+        return True
+    if pa.types.is_struct(dt):
+        return any(_has_map(f.type) for f in dt)
+    if pa.types.is_list(dt) or pa.types.is_large_list(dt) \
+            or pa.types.is_fixed_size_list(dt):
+        return _has_map(dt.value_type)
+    return False
+
+
+def _mapify(value, dt: pa.DataType):
+    if value is None:
+        return None
+    if pa.types.is_map(dt):
+        return {k: _mapify(v, dt.item_type) for k, v in value}
+    if pa.types.is_struct(dt):
+        return {f.name: _mapify(value.get(f.name), f.type) for f in dt}
+    if pa.types.is_list(dt) or pa.types.is_large_list(dt) \
+            or pa.types.is_fixed_size_list(dt):
+        return [_mapify(v, dt.value_type) for v in value]
+    return value
+
+
+def pylist_json(arr) -> list:
+    """``to_pylist`` with JSON semantics: Arrow map values become dicts
+    (this pyarrow's to_pylist yields lists of key/value tuples, which would
+    break the reference's object semantics in the scalar fallback)."""
+    values = arr.to_pylist()
+    if _has_map(arr.type):
+        values = [_mapify(v, arr.type) for v in values]
+    return values
 
 
 def embedding_matrix(column) -> np.ndarray:

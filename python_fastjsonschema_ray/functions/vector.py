@@ -110,7 +110,9 @@ class View:
     def values_at(self, idx) -> list:
         if len(idx) == 0:
             return []
-        return self.arr.take(pa.array(np.asarray(idx), type=pa.int64())).to_pylist()
+        from .arrowutil import pylist_json
+        return pylist_json(
+            self.arr.take(pa.array(np.asarray(idx), type=pa.int64())))
 
 
 class Emit:
@@ -941,7 +943,10 @@ class RowFallbackRule(Rule):
 
     def evaluate(self, view, collect):
         from ..exceptions import JsonSchemaValuesException
-        values = view.arr.to_pylist()
+        from .arrowutil import pylist_json
+        # Map columns must surface as dicts (the reference's object
+        # semantics), not pyarrow's list-of-tuples.
+        values = pylist_json(view.arr)
         n = view.n
         fail = _zeros(n)
         payloads = []                   # (row, [exceptions])
@@ -1141,8 +1146,10 @@ class VectorCompiler:
                           message_fn)
 
     def _row_kernel(self, definition, rule, fn, tail=None, message_fn=None):
+        from .arrowutil import pylist_json
+
         def mask(view):
-            values = view.arr.to_pylist()
+            values = pylist_json(view.arr)
             return np.fromiter(
                 (v is not None and bool(fn(v)) for v in values),
                 dtype=bool, count=view.n)
@@ -1289,7 +1296,8 @@ class VectorCompiler:
                                 applies_to_null=True)
 
         def mask(view):
-            vals = view.arr.to_pylist()
+            from .arrowutil import pylist_json
+            vals = pylist_json(view.arr)
             return np.fromiter(
                 (not any(enum_value_match(v, o) for o in options_all)
                  for v in vals),
@@ -1607,6 +1615,8 @@ class VectorCompiler:
         n = definition['minProperties']
         if not isinstance(n, (int, float)):
             raise JsonSchemaDefinitionException('minProperties must be a number')
+        if pa.types.is_map(dtype):
+            raise Unsupported('object keywords on map columns use the scalar path')
         if not pa.types.is_struct(dtype):
             return None
         return ConstantRule(
@@ -1617,6 +1627,8 @@ class VectorCompiler:
         n = definition['maxProperties']
         if not isinstance(n, (int, float)):
             raise JsonSchemaDefinitionException('maxProperties must be a number')
+        if pa.types.is_map(dtype):
+            raise Unsupported('object keywords on map columns use the scalar path')
         if not pa.types.is_struct(dtype):
             return None
         return ConstantRule(
@@ -1641,6 +1653,8 @@ class VectorCompiler:
                 raise JsonSchemaDefinitionException(
                     'data: items {} are required but not allowed'.format(
                         not_possible))
+        if pa.types.is_map(dtype):
+            raise Unsupported('object keywords on map columns use the scalar path')
         if not pa.types.is_struct(dtype):
             return None
         missing = sorted(set(required) - {f.name for f in dtype})
@@ -1649,6 +1663,8 @@ class VectorCompiler:
             ' must contain {} properties'.format(missing))
 
     def _v_dependencies(self, definition, dtype):
+        if pa.types.is_map(dtype):
+            raise Unsupported('object keywords on map columns use the scalar path')
         if not pa.types.is_struct(dtype):
             return None
         present = {f.name for f in dtype}
@@ -1675,6 +1691,8 @@ class VectorCompiler:
         return CompositeRule(rules)
 
     def _v_properties(self, definition, dtype):
+        if pa.types.is_map(dtype):
+            raise Unsupported('object keywords on map columns use the scalar path')
         if not pa.types.is_struct(dtype):
             return None
         names = {f.name: i for i, f in enumerate(dtype)}
@@ -1707,6 +1725,8 @@ class VectorCompiler:
         return StructChildrenRule('properties', fields)
 
     def _v_patternProperties(self, definition, dtype):
+        if pa.types.is_map(dtype):
+            raise Unsupported('object keywords on map columns use the scalar path')
         if not pa.types.is_struct(dtype):
             return None
         keys = [f.name for f in dtype]
@@ -1722,6 +1742,8 @@ class VectorCompiler:
         return StructChildrenRule('patternProperties', fields)
 
     def _v_additionalProperties(self, definition, dtype):
+        if pa.types.is_map(dtype):
+            raise Unsupported('object keywords on map columns use the scalar path')
         if not pa.types.is_struct(dtype):
             return None
         add = definition['additionalProperties']
@@ -1757,6 +1779,8 @@ class VectorCompiler:
     def _v_propertyNames(self, definition, dtype):
         if self.draft <= 4:
             return None
+        if pa.types.is_map(dtype):
+            raise Unsupported('object keywords on map columns use the scalar path')
         if not pa.types.is_struct(dtype):
             return None
         names_definition = definition.get('propertyNames', {})

@@ -188,9 +188,9 @@ def image_dataset(n_rows: int, seed: int = 42, violation_rate: float = 0.01,
         return image_batch(start, count, seed=seed,
                            violation_rate=violation_rate)
 
-    return ray.data.range(n_rows).repartition(
-        max(1, n_rows // shard_size)).map_batches(
-        gen, batch_format='numpy', batch_size=shard_size)
+    return ray.data.range(
+        n_rows, override_num_blocks=max(1, n_rows // shard_size)
+    ).map_batches(gen, batch_format='numpy', batch_size=shard_size)
 
 
 def write_image_table(path: str, n_rows: int, seed: int = 42,
