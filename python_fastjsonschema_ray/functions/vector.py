@@ -71,6 +71,12 @@ class Unsupported(Exception):
     owning column falls back to the interpreted scalar path."""
 
 
+class UnsupportedNode(Unsupported):
+    """Like Unsupported, but the keyword's semantics depend on sibling
+    keywords (e.g. additionalProperties reads properties), so the WHOLE
+    node must fall back to the scalar path, not just this keyword."""
+
+
 # ---------------------------------------------------------------------------
 # Views and emits
 
@@ -1078,6 +1084,11 @@ class VectorCompiler:
                 raise Unsupported('keyword {}'.format(keyword))
             try:
                 rule = method(definition, dtype)
+            except UnsupportedNode:
+                if not self.allow_fallback_rules:
+                    raise
+                # Sibling-dependent keyword: the whole node goes scalar.
+                return NodePlan([self._fallback_rule(definition)])
             except Unsupported:
                 if not self.allow_fallback_rules:
                     raise
@@ -1117,14 +1128,19 @@ class VectorCompiler:
 
     def _fallback_rule(self, definition):
         """Per-keyword scalar fallback embedded in the vector plan."""
+        # use_default is inherited: in-node default insertion changes what
+        # later keywords in the SAME node observe (the resulting transform
+        # is still discarded per the non-root temp-variable semantics).
         fast = ScalarCompiler(
             definition, draft=self.draft, formats=self.scalar.custom_formats,
-            use_default=False, use_formats=self.scalar.use_formats,
+            use_default=self.scalar.use_default,
+            use_formats=self.scalar.use_formats,
             detailed_exceptions=self.scalar.detailed, fast_fail=True,
         ).compile_root()
         coll = ScalarCompiler(
             definition, draft=self.draft, formats=self.scalar.custom_formats,
-            use_default=False, use_formats=self.scalar.use_formats,
+            use_default=self.scalar.use_default,
+            use_formats=self.scalar.use_formats,
             detailed_exceptions=self.scalar.detailed, fast_fail=False,
         )
         coll_root = coll.compile_root()
@@ -1616,7 +1632,7 @@ class VectorCompiler:
         if not isinstance(n, (int, float)):
             raise JsonSchemaDefinitionException('minProperties must be a number')
         if pa.types.is_map(dtype):
-            raise Unsupported('object keywords on map columns use the scalar path')
+            raise UnsupportedNode('object keywords on map columns use the scalar path')
         if not pa.types.is_struct(dtype):
             return None
         return ConstantRule(
@@ -1628,7 +1644,7 @@ class VectorCompiler:
         if not isinstance(n, (int, float)):
             raise JsonSchemaDefinitionException('maxProperties must be a number')
         if pa.types.is_map(dtype):
-            raise Unsupported('object keywords on map columns use the scalar path')
+            raise UnsupportedNode('object keywords on map columns use the scalar path')
         if not pa.types.is_struct(dtype):
             return None
         return ConstantRule(
@@ -1654,7 +1670,7 @@ class VectorCompiler:
                     'data: items {} are required but not allowed'.format(
                         not_possible))
         if pa.types.is_map(dtype):
-            raise Unsupported('object keywords on map columns use the scalar path')
+            raise UnsupportedNode('object keywords on map columns use the scalar path')
         if not pa.types.is_struct(dtype):
             return None
         missing = sorted(set(required) - {f.name for f in dtype})
@@ -1664,7 +1680,7 @@ class VectorCompiler:
 
     def _v_dependencies(self, definition, dtype):
         if pa.types.is_map(dtype):
-            raise Unsupported('object keywords on map columns use the scalar path')
+            raise UnsupportedNode('object keywords on map columns use the scalar path')
         if not pa.types.is_struct(dtype):
             return None
         present = {f.name for f in dtype}
@@ -1692,7 +1708,7 @@ class VectorCompiler:
 
     def _v_properties(self, definition, dtype):
         if pa.types.is_map(dtype):
-            raise Unsupported('object keywords on map columns use the scalar path')
+            raise UnsupportedNode('object keywords on map columns use the scalar path')
         if not pa.types.is_struct(dtype):
             return None
         names = {f.name: i for i, f in enumerate(dtype)}
@@ -1726,7 +1742,7 @@ class VectorCompiler:
 
     def _v_patternProperties(self, definition, dtype):
         if pa.types.is_map(dtype):
-            raise Unsupported('object keywords on map columns use the scalar path')
+            raise UnsupportedNode('object keywords on map columns use the scalar path')
         if not pa.types.is_struct(dtype):
             return None
         keys = [f.name for f in dtype]
@@ -1743,7 +1759,7 @@ class VectorCompiler:
 
     def _v_additionalProperties(self, definition, dtype):
         if pa.types.is_map(dtype):
-            raise Unsupported('object keywords on map columns use the scalar path')
+            raise UnsupportedNode('object keywords on map columns use the scalar path')
         if not pa.types.is_struct(dtype):
             return None
         add = definition['additionalProperties']
@@ -1780,7 +1796,7 @@ class VectorCompiler:
         if self.draft <= 4:
             return None
         if pa.types.is_map(dtype):
-            raise Unsupported('object keywords on map columns use the scalar path')
+            raise UnsupportedNode('object keywords on map columns use the scalar path')
         if not pa.types.is_struct(dtype):
             return None
         names_definition = definition.get('propertyNames', {})

@@ -41,7 +41,10 @@ def assert_table_parity(reference, schema, table, fast_fail=True,
     tv = TableValidator(copy.deepcopy(schema), table.schema,
                         fast_fail=fast_fail)
     result = tv.validate_batch(table)
-    rows = table.to_pylist()
+    from python_fastjsonschema_ray.functions.arrowutil import pylist_json
+    rows = [dict(zip(table.schema.names, vals)) for vals in zip(*[
+        pylist_json(table.column(c).combine_chunks())
+        for c in table.schema.names])] if table.num_rows else []
     expected = reference_row_outcomes(reference, schema, rows,
                                       fast_fail=fast_fail)
 
@@ -279,6 +282,25 @@ case(
     {'definitions': {'pos': {'type': 'integer', 'minimum': 1}},
      'properties': {'size': {'$ref': '#/definitions/pos'}}},
     pa.table({'size': pa.array([1, 0, None], type=pa.int64())}))
+
+# Map columns (scalar-fallback path with dict semantics) -------------------
+case(
+    {'properties': {'m': {
+        'type': 'object',
+        'patternProperties': {'^x': {'maximum': 3}},
+        'minProperties': 1,
+        'propertyNames': {'maxLength': 2},
+    }}},
+    pa.table({'m': pa.array(
+        [[('xa', 1), ('y', 2)], [('xa', 5)], [], [('long', 1)], None],
+        type=pa.map_(pa.string(), pa.int64()))}))
+
+case(
+    {'properties': {'m': {'required': ['k'], 'additionalProperties': False,
+                          'properties': {'k': {'minimum': 0}}}}},
+    pa.table({'m': pa.array(
+        [[('k', 1)], [('k', -1)], [('other', 2)]],
+        type=pa.map_(pa.string(), pa.int64()))}))
 
 # Boolean schemas ----------------------------------------------------------
 case(
