@@ -171,21 +171,59 @@ class _KeyCountStage:
         return grouped.rename_columns(list(self.columns) + ['partial_n'])
 
 
-def check_unique(ds, columns, concurrency=None):
-    """Duplicate-key detection: per-batch pre-aggregation → groupby(sum) over
-    the (much smaller) partials → keys with total count > 1.
+class _AddKeyBucket:
+    """Coarse hash bucket over the key columns: the shuffle key for
+    bucketed aggregation (few buckets → few groups → vectorized pandas
+    inside each group, instead of Ray's sort aggregate paying per-group
+    overhead on millions of distinct keys)."""
 
-    Returns a Dataset of duplicate keys with their counts (columns:
-    ``columns... , n``)."""
-    from ray.data.aggregate import Sum
+    def __init__(self, columns, num_buckets):
+        self.columns = columns
+        self.num_buckets = np.uint64(num_buckets)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        h = np.zeros(batch.num_rows, dtype=np.uint64)
+        for c in self.columns:
+            h ^= hash64_array(batch.column(c).combine_chunks())
+            with np.errstate(over='ignore'):
+                h *= np.uint64(0x9E3779B97F4A7C15)
+        return batch.append_column(
+            '_bucket', pa.array((h % self.num_buckets).astype(np.int64)))
+
+
+def _default_buckets():
+    import ray
+    return max(32, 4 * int(ray.cluster_resources().get('CPU', 8)))
+
+
+def check_unique(ds, columns, concurrency=None, num_buckets=None):
+    """Duplicate-key detection.
+
+    Two-level structure chosen for scale: (1) per-batch pre-aggregation
+    collapses each block to (key → local count); (2) partials shuffle on a
+    COARSE hash bucket of the key and each bucket group sums counts with a
+    vectorized pandas groupby.  The bucket keeps the Ray-level group count
+    ~O(cluster), avoiding the sort-aggregate's per-distinct-key overhead
+    while the exchange still moves at most one row per distinct key per
+    block.  Returns duplicate keys with counts (columns..., n)."""
+    import pandas as pd
 
     columns = list(columns)
-    partials = ds.map_batches(
-        _KeyCountStage(columns), batch_format='pyarrow',
-        **({'concurrency': concurrency} if concurrency else {}))
-    totals = partials.groupby(columns).aggregate(
-        Sum('partial_n', alias_name='n'))
-    return totals.filter(expr='n > 1')
+    kwargs = {'batch_format': 'pyarrow'}
+    if concurrency:
+        kwargs['concurrency'] = concurrency
+    partials = ds.map_batches(_KeyCountStage(columns), **kwargs)
+    bucketed = partials.map_batches(
+        _AddKeyBucket(columns, num_buckets or _default_buckets()),
+        batch_format='pyarrow')
+
+    def dups(group: pd.DataFrame) -> pd.DataFrame:
+        totals = group.groupby(columns, sort=False)['partial_n'].sum()
+        totals = totals[totals > 1]
+        out = totals.reset_index().rename(columns={'partial_n': 'n'})
+        return out
+
+    return bucketed.groupby('_bucket').map_groups(dups, batch_format='pandas')
 
 
 def dedup_exact(ds, columns, concurrency=None):
@@ -201,15 +239,24 @@ def dedup_exact(ds, columns, concurrency=None):
         first_row, batch_format='pandas')
 
 
-def dedup_winner_ids(ds, columns, id_column):
-    """Winner ids of an exact dedup (min id per distinct key) — a pure
-    groupby-aggregate, far cheaper than per-group map_groups when groups
-    are numerous and tiny (no per-group pandas overhead).  At scale, filter
-    the full rows by broadcasting these ids (or semi-joining)."""
-    from ray.data.aggregate import Min
+def dedup_winner_ids(ds, columns, id_column, num_buckets=None):
+    """Winner ids of an exact dedup (min id per distinct key): bucketed
+    aggregation (see check_unique) — coarse hash-bucket shuffle, vectorized
+    pandas min inside each bucket group.  At scale, filter the full rows by
+    broadcasting these ids (or semi-joining)."""
+    import pandas as pd
 
-    return ds.groupby(list(columns)).aggregate(
-        Min(id_column, alias_name=id_column)).select_columns([id_column])
+    columns = list(columns)
+    bucketed = ds.map_batches(
+        _AddKeyBucket(columns, num_buckets or _default_buckets()),
+        batch_format='pyarrow')
+
+    def winners(group: pd.DataFrame) -> pd.DataFrame:
+        return group.groupby(columns, sort=False, as_index=False) \
+            .agg(**{id_column: (id_column, 'min')})[[id_column]]
+
+    return bucketed.groupby('_bucket').map_groups(winners,
+                                                  batch_format='pandas')
 
 
 # ---------------------------------------------------------------------------
