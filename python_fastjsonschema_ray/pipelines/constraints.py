@@ -410,7 +410,11 @@ def histogram_profile(ds, column, edges, concurrency=None):
     return total
 
 
-def psi(expected_counts, actual_counts, eps=1e-6) -> float:
+def psi(expected_counts, actual_counts, eps=1e-3) -> float:
+    # eps is additive smoothing on the probability vectors: small enough to
+    # keep real shifts loud, large enough that a few empty bins don't blow
+    # up the log-ratio (a 2% mass bin missing entirely contributes ~0.06,
+    # not ~0.24 as it would with a 1e-6 floor).
     """Population stability index between two histograms."""
     e = np.asarray(expected_counts, dtype=np.float64)
     a = np.asarray(actual_counts, dtype=np.float64)
@@ -426,6 +430,65 @@ def ks_statistic(expected_counts, actual_counts) -> float:
     e_cdf = np.cumsum(e) / max(e.sum(), 1.0)
     a_cdf = np.cumsum(a) / max(a.sum(), 1.0)
     return float(np.abs(e_cdf - a_cdf).max())
+
+
+class _GroupHistogramStage:
+    def __init__(self, column, group_column, edges):
+        self.column = column
+        self.group_column = group_column
+        self.edges = np.asarray(edges, dtype=np.float64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        groups = batch.column(self.group_column).to_pylist()
+        vals = np.asarray(
+            pc.cast(batch.column(self.column).combine_chunks(),
+                    pa.float64(), safe=False).fill_null(np.nan))
+        out_g, out_c = [], []
+        import collections
+        by_group = collections.defaultdict(list)
+        for g, v in zip(groups, vals):
+            by_group[g].append(v)
+        for g, members in by_group.items():
+            counts, _ = np.histogram(
+                np.asarray(members)[~np.isnan(members)], bins=self.edges)
+            out_g.append('' if g is None else str(g))
+            out_c.append(pickle.dumps(counts))
+        return pa.table({'group': pa.array(out_g, type=pa.string()),
+                         'counts': pa.array(out_c, type=pa.binary())})
+
+
+def drift_by_group(ds, column, group_column, edges, *, psi_threshold=0.2,
+                   ks_threshold=0.1, concurrency=None):
+    """Per-group drift: each group's histogram (mergeable per-batch
+    partials, no row shuffle — only tiny count vectors move) is compared
+    against the GLOBAL distribution.  The group key can be arbitrarily
+    skewed (e.g. the hot ``fmt`` values): partials bound the exchange to
+    one row per (group, block)."""
+    parts = ds.map_batches(
+        _GroupHistogramStage(column, group_column, edges),
+        batch_format='pyarrow',
+        **({'concurrency': concurrency} if concurrency else {}))
+    merged = {}
+    for part in parts.iter_batches(batch_size=1024, batch_format='pyarrow'):
+        for row in part.to_pylist():
+            counts = pickle.loads(row['counts'])
+            if row['group'] in merged:
+                merged[row['group']] += counts
+            else:
+                merged[row['group']] = counts.astype(np.int64)
+    if not merged:
+        return []
+    total = np.sum(list(merged.values()), axis=0)
+    reports = []
+    for group, counts in sorted(merged.items()):
+        p = psi(total, counts)
+        k = ks_statistic(total, counts)
+        reports.append({
+            'group': group, 'column': column, 'psi': p, 'ks': k,
+            'n': int(counts.sum()),
+            'drifted': bool(p > psi_threshold or k > ks_threshold),
+        })
+    return reports
 
 
 def drift_check(ds, column, reference_profile, edges, *, psi_threshold=0.2,

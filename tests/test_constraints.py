@@ -99,3 +99,40 @@ def test_drift(ray_session):
     # Totally different column → drift.
     report2 = drift_check(ds, 'l_extendedprice', ref, edges)
     assert report2['drifted']
+
+
+def test_drift_by_group(ray_session):
+    import numpy as np
+    import ray.data
+    import pandas as pd
+    from python_fastjsonschema_ray.pipelines.constraints import drift_by_group
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({
+        'g': ['a'] * 5000 + ['b'] * 5000 + ['shifted'] * 500,
+        'x': np.concatenate([rng.normal(0, 1, 5000), rng.normal(0, 1, 5000),
+                             rng.normal(4, 1, 500)]),
+    })
+    ds = ray.data.from_pandas(df)
+    edges = np.linspace(-5, 9, 40)
+    reports = drift_by_group(ds, 'x', 'g', edges)
+    by_group = {r['group']: r for r in reports}
+    assert not by_group['a']['drifted']
+    assert not by_group['b']['drifted']
+    assert by_group['shifted']['drifted']
+
+
+def test_decimal_column_validation(ray_session):
+    """Decimal128 columns validate as numbers (reference: Decimal is a
+    first-class number, draft04.py:336-358)."""
+    import decimal
+    import pyarrow as pa
+    from python_fastjsonschema_ray.pipelines.validate import TableValidator
+    t = pa.table({'d': pa.array(
+        [decimal.Decimal('1.50'), decimal.Decimal('99.99'), None],
+        type=pa.decimal128(10, 2))})
+    tv = TableValidator({'properties': {'d': {
+        'type': ['number', 'null'], 'minimum': 1, 'maximum': 50}}}, t.schema)
+    res = tv.validate_batch(t)
+    assert list(res.valid) == [True, False, True]
+    assert res.records[0][1][1] == 'data.d must be smaller than or equal to 50'
+    assert res.records[0][1][4] == decimal.Decimal('99.99')
