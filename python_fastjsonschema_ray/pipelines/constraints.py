@@ -302,6 +302,47 @@ def check_referential(ds, column, ref_ds, ref_column, concurrency=None):
         concurrency=concurrency if concurrency is not None else _half_cpus())
 
 
+class _BloomAntiStage:
+    def __init__(self, column, bloom_ref):
+        import ray
+        self.column = column
+        self.bloom = ray.get(bloom_ref)
+        if isinstance(self.bloom, bytes):
+            from ..state.sketches import BloomFilter
+            self.bloom = BloomFilter.deserialize(self.bloom)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = hash64_array(batch.column(self.column).combine_chunks())
+        hit = self.bloom.contains_hashes(hashes)
+        return batch.filter(pa.array(~hit))
+
+
+def check_referential_bloom(ds, column, ref_ds, ref_column,
+                            bits_per_key=16, concurrency=None):
+    """Memory-compact referential check: the reference key set is broadcast
+    as a Bloom filter (bits_per_key bits/key vs ~8-100 bytes/key raw), so
+    it stays broadcastable at 10^9+ reference keys.
+
+    PROBABILISTIC: a Bloom false positive makes an orphan key look present,
+    i.e. up to ~fpr of true violations are missed (no false violations).
+    Returns (violations_ds, fpr)."""
+    import ray
+    from ..state.sketches import BloomFilter
+
+    keys = ref_ds.select_columns([ref_column]).unique(ref_column)
+    key_arr = pa.array(keys)
+    bloom = BloomFilter(len(key_arr), bits_per_key)
+    bloom.add_hashes(hash64_array(key_arr))
+    fpr = bloom.fpr
+    bloom_ref = ray.put(bloom.serialize())
+    out = ds.map_batches(
+        _BloomAntiStage, fn_constructor_args=(column, bloom_ref),
+        batch_format='pyarrow',
+        concurrency=concurrency if concurrency is not None else _half_cpus(),
+        num_cpus=0.5)
+    return out, fpr
+
+
 def check_referential_large(ds, column, ref_ds, ref_column, num_buckets=64):
     """Both-sides-large anti join: bucket both sides by key hash, co-group
     per bucket, emit left keys missing on the right.  num_buckets bounds

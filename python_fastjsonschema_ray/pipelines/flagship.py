@@ -168,6 +168,12 @@ def run_flagship(ds, *, reference_phashes=None, width_profile=None,
             ds.select_columns(['w', 'h', 'phash']), ['w', 'h', 'phash'])
     if width_profile is not None and width_edges is not None:
         report['drift'] = drift_check(ds, 'w', width_profile, width_edges)
+        # Per-group drift over the deliberately skewed fmt key: each fmt's
+        # width distribution vs the global one (mergeable histogram
+        # partials; the hot keys never shuffle rows).
+        from .constraints import drift_by_group
+        report['drift_by_fmt'] = drift_by_group(
+            ds.select_columns(['w', 'fmt']), 'w', 'fmt', width_edges)
 
     return report, schema_violations
 

@@ -92,6 +92,60 @@ def hash64_array(arr) -> np.ndarray:
     return out
 
 
+# -- Bloom filter ------------------------------------------------------------
+
+
+class BloomFilter:
+    """Bit-array membership sketch for compact key-set broadcast.
+
+    ``k`` probes derived from one 64-bit hash by double hashing.  With the
+    default 16 bits/key the false-positive rate is ~0.046% — for an
+    anti-join (referential check) a false positive means a missed orphan,
+    so the rate bounds the miss fraction and is reported by the caller."""
+
+    __slots__ = ('m', 'k', 'bits')
+
+    def __init__(self, n_keys: int, bits_per_key: int = 16):
+        self.m = max(64, int(n_keys * bits_per_key))
+        self.k = max(1, int(round(bits_per_key * 0.6931)))
+        self.bits = np.zeros((self.m + 63) // 64, dtype=np.uint64)
+
+    def _positions(self, hashes: np.ndarray) -> np.ndarray:
+        h1 = hashes
+        h2 = _splitmix64(hashes)
+        out = np.empty((self.k, len(hashes)), dtype=np.int64)
+        with np.errstate(over='ignore'):
+            for i in range(self.k):
+                out[i] = ((h1 + np.uint64(i) * h2) % np.uint64(self.m)) \
+                    .astype(np.int64)
+        return out
+
+    def add_hashes(self, hashes: np.ndarray):
+        pos = self._positions(hashes).ravel()
+        np.bitwise_or.at(self.bits, pos >> 6,
+                         np.uint64(1) << (pos & 63).astype(np.uint64))
+
+    def contains_hashes(self, hashes: np.ndarray) -> np.ndarray:
+        pos = self._positions(hashes)
+        word = self.bits[pos >> 6]
+        hit = (word >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+        return hit.all(axis=0).astype(bool)
+
+    @property
+    def fpr(self) -> float:
+        load = float((np.unpackbits(self.bits.view(np.uint8)) != 0).mean())
+        return load ** self.k
+
+    def serialize(self) -> bytes:
+        return pickle.dumps((self.m, self.k, self.bits))
+
+    @classmethod
+    def deserialize(cls, data: bytes) -> 'BloomFilter':
+        out = cls.__new__(cls)
+        out.m, out.k, out.bits = pickle.loads(data)
+        return out
+
+
 # -- HyperLogLog -------------------------------------------------------------
 
 

@@ -136,3 +136,45 @@ def test_decimal_column_validation(ray_session):
     assert list(res.valid) == [True, False, True]
     assert res.records[0][1][1] == 'data.d must be smaller than or equal to 50'
     assert res.records[0][1][4] == decimal.Decimal('99.99')
+
+
+def test_bloom_filter_basics():
+    import numpy as np
+    from python_fastjsonschema_ray.state.sketches import (
+        BloomFilter, hash64_array)
+    import pyarrow as pa
+    keys = pa.array(list(range(10_000)), type=pa.int64())
+    bloom = BloomFilter(len(keys), bits_per_key=16)
+    bloom.add_hashes(hash64_array(keys))
+    # All inserted keys are found.
+    assert bloom.contains_hashes(hash64_array(keys)).all()
+    # FPR on disjoint keys is near the design point.
+    probe = pa.array(list(range(1_000_000, 1_050_000)), type=pa.int64())
+    fp = bloom.contains_hashes(hash64_array(probe)).mean()
+    assert fp < 0.005, fp
+    rt = BloomFilter.deserialize(bloom.serialize())
+    assert rt.contains_hashes(hash64_array(keys)).all()
+
+
+def test_check_referential_bloom(ray_session, ddb):
+    import ray.data
+    from python_fastjsonschema_ray.pipelines.constraints import (
+        check_referential_bloom)
+    orders = ray.data.read_parquet(SF + '/orders.parquet',
+                                   columns=['o_orderkey', 'o_custkey'])
+    customer = ray.data.read_parquet(SF + '/customer.parquet',
+                                     columns=['c_custkey'])
+    # Plant orphans: shift the custkey of 20 specific orders out of range.
+    def plant(batch):
+        batch = batch.to_pandas()
+        mask = batch['o_orderkey'] < 20
+        batch.loc[mask, 'o_custkey'] += 10_000_000
+        return batch
+    planted = orders.map_batches(plant, batch_format='pyarrow')
+    violations, fpr = check_referential_bloom(
+        planted, 'o_custkey', customer, 'c_custkey')
+    n = violations.count()
+    assert fpr < 0.005
+    # All 20 planted orphans found (up to fpr misses — none expected at
+    # this scale with overwhelming probability).
+    assert n == 20
