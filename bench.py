@@ -123,6 +123,7 @@ def main():
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip('/').rsplit('sf', 1)[-1]
+    ray.shutdown()   # flush worker logs BEFORE the JSON line
     print(json.dumps({
         'metric': 'headline pipelines wall time (flagship validation + contract queries)',
         'value': total,
@@ -133,7 +134,6 @@ def main():
         'flagship_rows': FLAGSHIP_ROWS,
         'flagship_rows_per_s': round(FLAGSHIP_ROWS / flag_sec, 1),
     }))
-    ray.shutdown()
 
 
 if __name__ == '__main__':

@@ -28,6 +28,23 @@ from .functions.scalar import (  # noqa: A001 (API parity)
 VERSION = '0.1.0'
 __version__ = VERSION
 
+def __getattr__(name):
+    """Lazy re-exports of the Ray-side API (importing them eagerly would pull
+    ray/pandas into every scalar-only use)."""
+    if name in ('TableValidator', 'ValidatorStage', 'validate_dataset',
+                'top_violation_examples'):
+        from .pipelines import validate as _validate
+        return getattr(_validate, name)
+    if name in ('column_stats', 'check_unique', 'check_referential',
+                'drift_check', 'dedup_exact'):
+        from .pipelines import constraints as _constraints
+        return getattr(_constraints, name)
+    if name == 'run_flagship':
+        from .pipelines import flagship as _flagship
+        return _flagship.run_flagship
+    raise AttributeError(name)
+
+
 __all__ = [
     'VERSION',
     'JsonSchemaException',

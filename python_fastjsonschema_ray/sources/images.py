@@ -113,6 +113,26 @@ def psnr(a: np.ndarray, b: np.ndarray) -> float:
     return float(10 * np.log10(255.0 ** 2 / mse))
 
 
+def row_content(i: int, seed: int = 42) -> dict:
+    """Ground-truth content of row ``i`` before violation planting — the
+    per-row oracle for the decoded-pixel / caption invariants (any row is
+    reproducible independently from its index)."""
+    rng = np.random.default_rng(seed * 1_000_003 + i)
+    w = int(rng.integers(8, 33))
+    h = int(rng.integers(8, 33))
+    fmt = FMTS[rng.choice(len(FMTS), p=FMT_WEIGHTS)]
+    # Smooth gradient + noise so phash has structure.
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = ((xx * 255 / max(w - 1, 1))[..., None]
+            * np.array([1.0, 0.6, 0.3]))
+    noise = rng.integers(0, 64, (h, w, 3))
+    pixels = np.clip(base + noise, 0, 255).astype(np.uint8)
+    caption = '{} #{}'.format(
+        CAPTION_WORDS[int(rng.integers(0, len(CAPTION_WORDS)))], i)
+    return {'pixels': pixels, 'w': w, 'h': h, 'fmt': fmt,
+            'caption': caption, 'phash': average_phash(pixels)}
+
+
 def image_batch(start: int, count: int, seed: int = 42,
                 violation_rate: float = 0.01) -> pa.Table:
     """Deterministically generate rows [start, start+count) of the synthetic
@@ -122,20 +142,12 @@ def image_batch(start: int, count: int, seed: int = 42,
     violation_every = max(1, int(round(1.0 / violation_rate))) \
         if violation_rate > 0 else 0
     for i in range(start, start + count):
-        rng = np.random.default_rng(seed * 1_000_003 + i)
-        w = int(rng.integers(8, 33))
-        h = int(rng.integers(8, 33))
-        fmt = FMTS[rng.choice(len(FMTS), p=FMT_WEIGHTS)]
-        # Smooth gradient + noise so phash has structure.
-        yy, xx = np.mgrid[0:h, 0:w]
-        base = ((xx * 255 / max(w - 1, 1))[..., None]
-                * np.array([1.0, 0.6, 0.3]))
-        noise = rng.integers(0, 64, (h, w, 3))
-        pixels = np.clip(base + noise, 0, 255).astype(np.uint8)
+        content = row_content(i, seed)
+        pixels = content['pixels']
+        w, h, fmt = content['w'], content['h'], content['fmt']
+        caption = content['caption']
         image_id = 'img-%012d' % i
-        caption = '{} #{}'.format(
-            CAPTION_WORDS[int(rng.integers(0, len(CAPTION_WORDS)))], i)
-        ph = average_phash(pixels)
+        ph = content['phash']
 
         kind = None
         if violation_every and i % violation_every == 0 and i > 0:

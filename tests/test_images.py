@@ -72,3 +72,27 @@ def test_decode_stage_flags_planted_dim_mismatch():
 def test_phash_stable():
     px = _pixels(3)
     assert average_phash(px) == average_phash(px.copy())
+
+
+def test_per_row_content_invariant():
+    """North-rule per-row invariant: for every non-planted row, decoding the
+    stored bytes reproduces the ground-truth pixels exactly (lossless) or at
+    PSNR >= 40 dB (lossy), and the caption equals the ground truth."""
+    from python_fastjsonschema_ray.sources.images import row_content
+    t = image_batch(0, 800, seed=42, violation_rate=0.01)
+    rows = t.to_pylist()
+    checked = 0
+    for i, row in enumerate(rows):
+        truth = row_content(i, seed=42)
+        if row['image_id'] != 'img-%012d' % i or row['fmt'] != truth['fmt'] \
+                or row['w'] != truth['w'] or row['caption'] != truth['caption'] \
+                or row['phash'] != truth['phash']:
+            continue  # planted-violation row
+        decoded = decode_image(row['bytes'], row['fmt'], row['w'], row['h'])
+        if row['fmt'] == 'lossy':
+            assert psnr(truth['pixels'], decoded) >= 40.0
+        else:
+            assert np.array_equal(decoded, truth['pixels'])
+        assert row['caption'] == truth['caption']
+        checked += 1
+    assert checked >= 780
