@@ -30,7 +30,7 @@ from .constraints import (
     drift_check,
     histogram_profile,
 )
-from .validate import ValidatorStage, validate_dataset
+from .validate import validate_dataset
 
 IMAGE_TABLE_SPEC = {
     'type': 'object',
@@ -115,7 +115,6 @@ class ValidateAndDecodeStage:
                 keys.append(ids[i])
                 rules.append('phash')
                 msgs.append('data.phash does not match decoded content hash')
-            srcs = srcs
         srcs += ['content'] * (len(keys) - len(srcs))
         return pa.table({
             'key': pa.array(keys, type=pa.string()),
