@@ -138,10 +138,17 @@ class Emit:
 
 
 def make_emit(view: View, idx: np.ndarray, key, rule, definition, message_fn):
-    """Standard emit: names/values pulled lazily from the view."""
+    """Standard emit: names/values pulled lazily from the view.
+
+    Order keys are TUPLES compared lexicographically: a plain site emits
+    ``(site_offset,)``; list wrappers prepend ``(list_offset, position)``
+    so element-major traversal order holds at any nesting depth without a
+    numeric key range overflowing into sibling sites."""
     idx = np.asarray(idx, dtype=np.int64)
-    if np.isscalar(key) or getattr(key, 'ndim', 1) == 0:
-        key = np.full(len(idx), key, dtype=np.int64)
+    if isinstance(key, int) or np.isscalar(key):
+        tup = (int(key),)
+        key = np.empty(len(idx), dtype=object)
+        key[:] = [tup] * len(idx)
 
     def records(sel):
         picked = idx[sel]
@@ -515,15 +522,20 @@ class IfThenElseRule(Rule):
         self.if_plan = if_plan
         self.then_plan = then_plan
         self.else_plan = else_plan
+        if_span = if_plan.span
         then_span = then_plan.span if then_plan else 0
         else_span = else_plan.span if else_plan else 0
-        self.span = max(then_span + else_span, 1)
-        self._else_rel = then_span
+        # The if-plan needs key slots too: in collect mode its errors leak
+        # and must sort at this node's position, before then/else.
+        self.span = max(if_span + then_span + else_span, 1)
+        self._then_rel = if_span
+        self._else_rel = if_span + then_span
 
     def set_offset(self, value):
         super().set_offset(value)
+        self.if_plan.set_offset(value)
         if self.then_plan:
-            self.then_plan.set_offset(value)
+            self.then_plan.set_offset(value + self._then_rel)
         if self.else_plan:
             self.else_plan.set_offset(value + self._else_rel)
 
@@ -594,11 +606,15 @@ class ListItemsRule(Rule):
         fail = _zeros(view.n)
         if res.fail is not None and res.fail.any():
             np.bitwise_or.at(fail, parents[res.fail], True)
-        base, span = self.offset, self.span
+        base = self.offset
         emits = []
         for e in res.emits:
             new_rows = parents[e.rows]
-            new_key = base + positions[e.rows] * span + (e.key - base)
+            new_key = np.empty(len(e.rows), dtype=object)
+            new_key[:] = [
+                (base, int(positions[r])) + k
+                for r, k in zip(e.rows, e.key)
+            ]
             emits.append(e.remapped(new_rows, new_key))
         return NodeResult(fail, emits)
 
@@ -690,10 +706,12 @@ class TupleItemsRule(Rule):
                     np.bitwise_or.at(f, rows[res.fail], True)
                     fail = _or(fail, f)
                 base = self._forbid_off + 1
-                span = self.add_plan.span
                 for e in res.emits:
-                    new_key = base + (pos_in_row[e.rows] - self.n_tuple) * span \
-                        + (e.key - base)
+                    new_key = np.empty(len(e.rows), dtype=object)
+                    new_key[:] = [
+                        (base, int(pos_in_row[r])) + k
+                        for r, k in zip(e.rows, e.key)
+                    ]
                     emits.append(e.remapped(rows[e.rows], new_key))
         return NodeResult(fail, emits)
 
@@ -887,7 +905,8 @@ class PropertyNamesRule(Rule):
             idx = np.nonzero(valid)[0].astype(np.int64)
             n_err = len(self.leaked)
             rows = np.repeat(idx, n_err)
-            key = np.full(len(rows), self.offset, dtype=np.int64)
+            key = np.empty(len(rows), dtype=object)
+            key[:] = [(self.offset,)] * len(rows)
             leaked, sentinel = self.leaked, self.sentinel
             name_fn = view.name_fn
 
@@ -979,7 +998,8 @@ class RowFallbackRule(Rule):
                 rows.append(i)
                 excs.append(exc)
         rows = np.asarray(rows, dtype=np.int64)
-        key = np.full(len(rows), self.offset, dtype=np.int64)
+        key = np.empty(len(rows), dtype=object)
+        key[:] = [(self.offset,)] * len(rows)
 
         def records(sel):
             return [
@@ -1920,24 +1940,30 @@ def collect_violations(result: NodeResult, n_rows: int, fast_fail: bool):
         valid &= ~result.fail
     entries = []
     if fast_fail:
-        minkey = np.full(n_rows, MAXKEY, dtype=np.int64)
+        minkey = {}
         for e in result.emits:
-            if len(e.rows):
-                np.minimum.at(minkey, e.rows, e.key)
-        seen = np.zeros(n_rows, dtype=bool)
+            for r, k in zip(e.rows, e.key):
+                r = int(r)
+                cur = minkey.get(r)
+                if cur is None or k < cur:
+                    minkey[r] = k
+        seen = set()
         for e in result.emits:
             if not len(e.rows):
                 continue
-            keep = (e.key == minkey[e.rows]) & ~seen[e.rows]
+            keep = np.fromiter(
+                (int(r) not in seen and minkey[int(r)] == k
+                 for r, k in zip(e.rows, e.key)),
+                dtype=bool, count=len(e.rows))
             if keep.any():
-                seen[e.rows[keep]] = True
-                entries.append((e.filtered(keep)))
+                seen.update(int(r) for r in e.rows[keep])
+                entries.append(e.filtered(keep))
     else:
         entries = [e for e in result.emits if len(e.rows)]
     records = []
     for order, e in enumerate(entries):
         recs = e.records(e.sel)
         for i in range(len(e.rows)):
-            records.append((int(e.rows[i]), int(e.key[i]), order, recs[i]))
+            records.append((int(e.rows[i]), tuple(e.key[i]), order, recs[i]))
     records.sort(key=lambda r: (r[0], r[1], r[2]))
     return valid, [(row, rec) for row, _k, _o, rec in records]

@@ -221,9 +221,9 @@ class TableValidator:
                         return [(_name, _m[s], None, _d, _v[s]) for s in sel]
 
                     from ..functions.vector import Emit
-                    emits.append(Emit(rows,
-                                      np.full(len(rows), site.offset,
-                                              dtype=np.int64),
+                    key = np.empty(len(rows), dtype=object)
+                    key[:] = [(site.offset,)] * len(rows)
+                    emits.append(Emit(rows, key,
                                       np.arange(len(rows), dtype=np.int64),
                                       records))
             if col_fail.any():
