@@ -244,6 +244,293 @@ def q_events_value_high(sf_dir: str):
     return out.select_columns(['key', 'rule'])
 
 
+# -- per-keyword driver evidence (one query per SURVEY §2.3 keyword) --------
+#
+# Each query compiles a schema exercising exactly one keyword (plus `type`)
+# and streams violations; derived columns needed by a keyword (emails, lists,
+# maps, base64) are built deterministically inside map_batches so the DuckDB
+# oracle can reproduce the construction (or its by-construction failure set).
+
+
+def _violations(ds, spec, key_column, cols=('key',), **flags):
+    from python_fastjsonschema_ray.pipelines.validate import validate_dataset
+    out = validate_dataset(ds, spec, mode='violations',
+                           key_column=key_column, **flags)
+    return _df_with_columns(out, cols)
+
+
+def q_maxlength_documents(sf_dir: str):
+    """maxLength keyword over documents.text."""
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    spec = {'properties': {'text': {'type': 'string', 'maxLength': 500}}}
+    return _violations(ds, spec, 'doc_id')
+
+
+def q_multipleof_lineitem(sf_dir: str):
+    """multipleOf keyword (Decimal-exact float divisor path)."""
+    ds = _read(sf_dir, 'lineitem', ['l_orderkey', 'l_quantity'])
+    spec = {'properties': {'l_quantity': {'type': 'number', 'multipleOf': 5}}}
+    return _violations(ds, spec, 'l_orderkey')
+
+
+def q_exclusive_range_events(sf_dir: str):
+    """Numeric exclusiveMinimum/exclusiveMaximum (draft-06 form), collect
+    mode so both rules report independently."""
+    ds = _read(sf_dir, 'events', ['event_id', 'value'])
+    spec = {'properties': {'value': {'type': 'number',
+                                     'exclusiveMinimum': 0.01,
+                                     'exclusiveMaximum': 450}}}
+    return _violations(ds, spec, 'event_id', cols=('key', 'rule'),
+                       fast_fail=False)
+
+
+def q_format_email_customer(sf_dir: str):
+    """format:email (lookaround regex → Python row kernel). Emails are
+    derived: %10==0 drops the '@', %10==1 injects '..' before it — the
+    oracle asserts the by-construction failure classes (the reference email
+    regex is not RE2-expressible, so DuckDB cannot run it directly)."""
+    ds = _read(sf_dir, 'customer', ['c_custkey'])
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch['c_custkey']
+        email = 'user' + k.astype(str) + '@example.com'
+        email = email.mask(k % 10 == 0, 'user' + k.astype(str) + 'example.com')
+        email = email.mask(k % 10 == 1, 'user..' + k.astype(str) + '@example.com')
+        return pa.table({'c_custkey': pa.array(k, type=pa.int64()),
+                         'email': pa.array(email, type=pa.string())})
+
+    ds = ds.map_batches(build, batch_format='pandas')
+    spec = {'properties': {'email': {'type': 'string', 'format': 'email'}}}
+    return _violations(ds, spec, 'c_custkey')
+
+
+def q_format_ipv4_customer(sf_dir: str):
+    """format:ipv4 (RE2 vector kernel; leading-zero CVE-2021-28918 case)."""
+    ds = _read(sf_dir, 'customer', ['c_custkey'])
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch['c_custkey']
+        ip = (k % 300).astype(str) + '.0.0.1'
+        ip = ip.mask(k % 300 == 0, '01.2.3.4')
+        return pa.table({'c_custkey': pa.array(k, type=pa.int64()),
+                         'ip': pa.array(ip, type=pa.string())})
+
+    ds = ds.map_batches(build, batch_format='pandas')
+    spec = {'properties': {'ip': {'type': 'string', 'format': 'ipv4'}}}
+    return _violations(ds, spec, 'c_custkey')
+
+
+def q_format_uuid_events(sf_dir: str):
+    """format:uuid (draft-2019 format table)."""
+    ds = _read(sf_dir, 'events', ['event_id'])
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch['event_id']
+        u = k.apply(lambda v: '{:08x}-0000-4000-8000-{:012x}'.format(v, v))
+        u = u.mask(k % 9 == 0, 'not-a-uuid')
+        return pa.table({'event_id': pa.array(k, type=pa.int64()),
+                         'u': pa.array(u, type=pa.string())})
+
+    ds = ds.map_batches(build, batch_format='pandas')
+    spec = {'properties': {'u': {'type': 'string', 'format': 'uuid'}}}
+    return _violations(ds, spec, 'event_id')
+
+
+def q_const_nation(sf_dir: str):
+    """const keyword (type-strict equality)."""
+    ds = _read(sf_dir, 'nation', ['n_nationkey', 'n_regionkey'])
+    spec = {'properties': {'n_regionkey': {'const': 0}}}
+    return _violations(ds, spec, 'n_nationkey')
+
+
+def q_allof_orders(sf_dir: str):
+    """allOf composition: each branch's rule surfaces in fast-fail order."""
+    ds = _read(sf_dir, 'orders', ['o_orderkey', 'o_totalprice'])
+    spec = {'properties': {'o_totalprice': {'allOf': [
+        {'minimum': 2000}, {'maximum': 400000}]}}}
+    return _violations(ds, spec, 'o_orderkey', cols=('key', 'rule'))
+
+
+def q_anyof_lineitem(sf_dir: str):
+    """anyOf fails only when every branch fails (10 < q < 40)."""
+    ds = _read(sf_dir, 'lineitem', ['l_orderkey', 'l_quantity'])
+    spec = {'properties': {'l_quantity': {'anyOf': [
+        {'maximum': 10}, {'minimum': 40}]}}}
+    return _violations(ds, spec, 'l_orderkey')
+
+
+def q_oneof_lineitem(sf_dir: str):
+    """oneOf fails when both branches match (10 <= q <= 20)."""
+    ds = _read(sf_dir, 'lineitem', ['l_orderkey', 'l_quantity'])
+    spec = {'properties': {'l_quantity': {'oneOf': [
+        {'maximum': 20}, {'minimum': 10}]}}}
+    return _violations(ds, spec, 'l_orderkey')
+
+
+def q_not_part(sf_dir: str):
+    """not keyword over an enum sub-schema."""
+    ds = _read(sf_dir, 'part', ['p_partkey', 'p_brand'])
+    spec = {'properties': {'p_brand': {'not': {
+        'enum': ['Brand#1', 'Brand#2', 'Brand#3']}}}}
+    return _violations(ds, spec, 'p_partkey')
+
+
+def q_dependencies_lineitem(sf_dir: str):
+    """dependencies (schema form) at the table root: presence of l_discount
+    activates a minimum on l_quantity."""
+    ds = _read(sf_dir, 'lineitem', ['l_orderkey', 'l_quantity', 'l_discount'])
+    spec = {'dependencies': {'l_discount': {
+        'properties': {'l_quantity': {'minimum': 5}}}}}
+    return _violations(ds, spec, 'l_orderkey', cols=('key', 'rule'))
+
+
+def q_ifelse_lineitem(sf_dir: str):
+    """if/then/else at the table root (conditional cross-column rule)."""
+    ds = _read(sf_dir, 'lineitem',
+               ['l_orderkey', 'l_returnflag', 'l_quantity', 'l_discount'])
+    spec = {
+        'if': {'properties': {'l_returnflag': {'const': 'R'}}},
+        'then': {'properties': {'l_quantity': {'maximum': 30}}},
+        'else': {'properties': {'l_discount': {'maximum': 0.05}}},
+    }
+    return _violations(ds, spec, 'l_orderkey', cols=('key', 'name'))
+
+
+def q_uniqueitems_lineitem(sf_dir: str):
+    """uniqueItems over a derived int list column."""
+    ds = _read(sf_dir, 'lineitem', ['l_orderkey', 'l_partkey', 'l_suppkey'])
+
+    def build(batch: pa.Table) -> pa.Table:
+        o = batch.column('l_orderkey').to_numpy(zero_copy_only=False) % 10
+        p = batch.column('l_partkey').to_numpy(zero_copy_only=False) % 10
+        s = batch.column('l_suppkey').to_numpy(zero_copy_only=False) % 10
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.column_stack([o, p, s]).ravel(), type=pa.int64()), 3)
+        return pa.table({'l_orderkey': batch.column('l_orderkey'),
+                         'arr': arr.cast(pa.list_(pa.int64()))})
+
+    ds = ds.map_batches(build, batch_format='pyarrow')
+    spec = {'properties': {'arr': {'type': 'array', 'uniqueItems': True}}}
+    return _violations(ds, spec, 'l_orderkey')
+
+
+def q_tupleitems_part(sf_dir: str):
+    """Tuple-form items: per-index sub-schemas over [p_size, p_retailprice];
+    fast-fail reports the first failing index."""
+    ds = _read(sf_dir, 'part', ['p_partkey', 'p_size', 'p_retailprice'])
+
+    def build(batch: pa.Table) -> pa.Table:
+        sz = batch.column('p_size').to_numpy(zero_copy_only=False).astype(np.float64)
+        rp = batch.column('p_retailprice').to_numpy(zero_copy_only=False)
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.column_stack([sz, rp]).ravel(), type=pa.float64()), 2)
+        return pa.table({'p_partkey': batch.column('p_partkey'),
+                         'arr': arr.cast(pa.list_(pa.float64()))})
+
+    ds = ds.map_batches(build, batch_format='pyarrow')
+    spec = {'properties': {'arr': {'type': 'array', 'items': [
+        {'maximum': 25}, {'maximum': 990}]}}}
+    return _violations(ds, spec, 'p_partkey', cols=('key', 'name'))
+
+
+def q_contains_embeddings(sf_dir: str):
+    """contains keyword over the float32 embedding list column."""
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    spec = {'properties': {'embedding': {'type': 'array',
+                                         'contains': {'minimum': 0.25}}}}
+    return _violations(ds, spec, 'vec_id')
+
+
+def q_b64_documents(sf_dir: str):
+    """contentEncoding:base64 decode transform; %7==0 rows carry a
+    non-decodable payload."""
+    import base64 as b64mod
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        enc = batch['text'].str.slice(0, 16).apply(
+            lambda t: b64mod.b64encode(t.encode()).decode())
+        enc = enc.mask(batch['doc_id'] % 7 == 0, 'xxxxx')
+        return pa.table({'doc_id': pa.array(batch['doc_id'], type=pa.int64()),
+                         'b64': pa.array(enc, type=pa.string())})
+
+    ds = ds.map_batches(build, batch_format='pandas')
+    spec = {'properties': {'b64': {'type': 'string',
+                                   'contentEncoding': 'base64'}}}
+    return _violations(ds, spec, 'doc_id')
+
+
+def _events_kmap(batch: pa.Table) -> pa.Table:
+    """Derived map<string,double> column {'k': value} (+'extra' if value>250)."""
+    vals = batch.column('value').to_pylist()
+    items = [[('k', v)] + ([('extra', v)] if v is not None and v > 250 else [])
+             for v in vals]
+    m = pa.array(items, type=pa.map_(pa.string(), pa.float64()))
+    return pa.table({'event_id': batch.column('event_id'), 'm': m})
+
+
+def _events_typemap(batch: pa.Table) -> pa.Table:
+    """Derived map<string,double> column {event_type: value}."""
+    et = batch.column('event_type').to_pylist()
+    vals = batch.column('value').to_pylist()
+    m = pa.array([[(t, v)] for t, v in zip(et, vals)],
+                 type=pa.map_(pa.string(), pa.float64()))
+    return pa.table({'event_id': batch.column('event_id'), 'm': m})
+
+
+def q_maxprops_events(sf_dir: str):
+    """maxProperties over a real map column (scalar-fallback node)."""
+    ds = _read(sf_dir, 'events', ['event_id', 'value'])
+    ds = ds.map_batches(_events_kmap, batch_format='pyarrow')
+    spec = {'properties': {'m': {'type': 'object', 'maxProperties': 1}}}
+    return _violations(ds, spec, 'event_id')
+
+
+def q_minprops_events(sf_dir: str):
+    """minProperties over the same derived map column."""
+    ds = _read(sf_dir, 'events', ['event_id', 'value'])
+    ds = ds.map_batches(_events_kmap, batch_format='pyarrow')
+    spec = {'properties': {'m': {'type': 'object', 'minProperties': 2}}}
+    return _violations(ds, spec, 'event_id')
+
+
+def q_propertynames_events(sf_dir: str):
+    """propertyNames pattern over map keys."""
+    ds = _read(sf_dir, 'events', ['event_id', 'event_type', 'value'])
+    ds = ds.map_batches(_events_typemap, batch_format='pyarrow')
+    spec = {'properties': {'m': {'type': 'object', 'propertyNames': {
+        'pattern': '^(click|view|signup)$'}}}}
+    return _violations(ds, spec, 'event_id')
+
+
+def q_addprops_events(sf_dir: str):
+    """additionalProperties: false with declared properties over map keys."""
+    ds = _read(sf_dir, 'events', ['event_id', 'event_type', 'value'])
+    ds = ds.map_batches(_events_typemap, batch_format='pyarrow')
+    spec = {'properties': {'m': {
+        'type': 'object',
+        'properties': {'click': {'type': 'number'},
+                       'view': {'type': 'number'}},
+        'additionalProperties': False}}}
+    return _violations(ds, spec, 'event_id')
+
+
+def q_patternprops_events(sf_dir: str):
+    """patternProperties: value bound applies only to regex-matched keys."""
+    ds = _read(sf_dir, 'events', ['event_id', 'event_type', 'value'])
+    ds = ds.map_batches(_events_typemap, batch_format='pyarrow')
+    spec = {'properties': {'m': {'type': 'object', 'patternProperties': {
+        '^(click|error)$': {'maximum': 100}}}}}
+    return _violations(ds, spec, 'event_id')
+
+
+def q_boolschema_events(sf_dir: str):
+    """Boolean sub-schema (properties: {value: false}) — draft-06 form."""
+    ds = _read(sf_dir, 'events', ['event_id', 'value'])
+    spec = {'properties': {'value': False}}
+    return _violations(ds, spec, 'event_id')
+
+
 # -- non-SQL-expressible operators (rows-only driver check) -----------------
 
 
@@ -353,6 +640,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'events_value_high': q_events_value_high,
         'windowed_events': q_windowed_events,
         'sessions_events': q_sessions_events,
+        # per-keyword evidence (SURVEY §2.3):
+        'maxlength_documents': q_maxlength_documents,
+        'multipleof_lineitem': q_multipleof_lineitem,
+        'exclusive_range_events': q_exclusive_range_events,
+        'format_email_customer': q_format_email_customer,
+        'format_ipv4_customer': q_format_ipv4_customer,
+        'format_uuid_events': q_format_uuid_events,
+        'const_nation': q_const_nation,
+        'allof_orders': q_allof_orders,
+        'anyof_lineitem': q_anyof_lineitem,
+        'oneof_lineitem': q_oneof_lineitem,
+        'not_part': q_not_part,
+        'dependencies_lineitem': q_dependencies_lineitem,
+        'ifelse_lineitem': q_ifelse_lineitem,
+        'uniqueitems_lineitem': q_uniqueitems_lineitem,
+        'tupleitems_part': q_tupleitems_part,
+        'contains_embeddings': q_contains_embeddings,
+        'b64_documents': q_b64_documents,
+        'maxprops_events': q_maxprops_events,
+        'minprops_events': q_minprops_events,
+        'propertynames_events': q_propertynames_events,
+        'addprops_events': q_addprops_events,
+        'patternprops_events': q_patternprops_events,
+        'boolschema_events': q_boolschema_events,
         # rows-only (no SQL equivalent):
         'langid_documents': q_langid_documents,
         'fingerprint_documents': q_fingerprint_documents,
@@ -460,6 +771,122 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n,
                    ROUND(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        'maxlength_documents': """
+            SELECT CAST(doc_id AS VARCHAR) AS key
+            FROM documents WHERE length(text) > 500
+        """,
+        'multipleof_lineitem': """
+            SELECT CAST(l_orderkey AS VARCHAR) AS key
+            FROM lineitem WHERE l_quantity % 5 <> 0
+        """,
+        'exclusive_range_events': """
+            SELECT CAST(event_id AS VARCHAR) AS key,
+                   'exclusiveMinimum' AS rule
+              FROM events WHERE value <= 0.01
+            UNION ALL
+            SELECT CAST(event_id AS VARCHAR) AS key,
+                   'exclusiveMaximum' AS rule
+              FROM events WHERE value >= 450
+        """,
+        # email regex needs lookarounds (not RE2/DuckDB-expressible): the
+        # oracle asserts the deterministic by-construction failure classes.
+        'format_email_customer': """
+            SELECT CAST(c_custkey AS VARCHAR) AS key
+            FROM customer WHERE c_custkey % 10 IN (0, 1)
+        """,
+        'format_ipv4_customer': """
+            SELECT CAST(c_custkey AS VARCHAR) AS key
+            FROM customer
+            WHERE c_custkey % 300 = 0 OR c_custkey % 300 > 255
+        """,
+        'format_uuid_events': """
+            SELECT CAST(event_id AS VARCHAR) AS key
+            FROM events WHERE event_id % 9 = 0
+        """,
+        'const_nation': """
+            SELECT CAST(n_nationkey AS VARCHAR) AS key
+            FROM nation WHERE n_regionkey <> 0
+        """,
+        'allof_orders': """
+            SELECT CAST(o_orderkey AS VARCHAR) AS key, 'minimum' AS rule
+              FROM orders WHERE o_totalprice < 2000
+            UNION ALL
+            SELECT CAST(o_orderkey AS VARCHAR) AS key, 'maximum' AS rule
+              FROM orders WHERE o_totalprice > 400000
+        """,
+        'anyof_lineitem': """
+            SELECT CAST(l_orderkey AS VARCHAR) AS key
+            FROM lineitem WHERE l_quantity > 10 AND l_quantity < 40
+        """,
+        'oneof_lineitem': """
+            SELECT CAST(l_orderkey AS VARCHAR) AS key
+            FROM lineitem WHERE l_quantity BETWEEN 10 AND 20
+        """,
+        'not_part': """
+            SELECT CAST(p_partkey AS VARCHAR) AS key
+            FROM part WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+        """,
+        'dependencies_lineitem': """
+            SELECT CAST(l_orderkey AS VARCHAR) AS key, 'minimum' AS rule
+            FROM lineitem WHERE l_quantity < 5
+        """,
+        'ifelse_lineitem': """
+            SELECT CAST(l_orderkey AS VARCHAR) AS key,
+                   'data.l_quantity' AS name
+              FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 30
+            UNION ALL
+            SELECT CAST(l_orderkey AS VARCHAR) AS key,
+                   'data.l_discount' AS name
+              FROM lineitem WHERE l_returnflag <> 'R' AND l_discount > 0.05
+        """,
+        'uniqueitems_lineitem': """
+            SELECT CAST(l_orderkey AS VARCHAR) AS key
+            FROM lineitem
+            WHERE len(list_distinct([l_orderkey % 10, l_partkey % 10,
+                                     l_suppkey % 10])) <> 3
+        """,
+        'tupleitems_part': """
+            SELECT CAST(p_partkey AS VARCHAR) AS key,
+                   'data.arr[0]' AS name
+              FROM part WHERE p_size > 25
+            UNION ALL
+            SELECT CAST(p_partkey AS VARCHAR) AS key,
+                   'data.arr[1]' AS name
+              FROM part WHERE p_size <= 25 AND p_retailprice > 990
+        """,
+        'contains_embeddings': """
+            SELECT CAST(vec_id AS VARCHAR) AS key
+            FROM embeddings
+            WHERE len(list_filter(embedding, x -> x >= 0.25)) = 0
+        """,
+        'b64_documents': """
+            SELECT CAST(doc_id AS VARCHAR) AS key
+            FROM documents WHERE doc_id % 7 = 0
+        """,
+        'maxprops_events': """
+            SELECT CAST(event_id AS VARCHAR) AS key
+            FROM events WHERE value > 250
+        """,
+        'minprops_events': """
+            SELECT CAST(event_id AS VARCHAR) AS key
+            FROM events WHERE value <= 250
+        """,
+        'propertynames_events': """
+            SELECT CAST(event_id AS VARCHAR) AS key
+            FROM events WHERE event_type IN ('purchase', 'error')
+        """,
+        'addprops_events': """
+            SELECT CAST(event_id AS VARCHAR) AS key
+            FROM events WHERE event_type NOT IN ('click', 'view')
+        """,
+        'patternprops_events': """
+            SELECT CAST(event_id AS VARCHAR) AS key
+            FROM events
+            WHERE event_type IN ('click', 'error') AND value > 100
+        """,
+        'boolschema_events': """
+            SELECT CAST(event_id AS VARCHAR) AS key FROM events
         """,
         'sessions_events': """
             WITH deltas AS (
