@@ -557,8 +557,15 @@ def q_simhash_documents(sf_dir: str):
 
 
 def q_minhash_pairs_documents(sf_dir: str):
+    import ray
+    import ray.data
     from python_fastjsonschema_ray.stages.dedup import minhash_duplicate_pairs
-    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    # The documents table is one small file → one block; split it so the
+    # signature stage parallelizes (a real corpus has many files/fragments).
+    n_blocks = max(8, int(ray.cluster_resources().get('CPU', 8)))
+    ds = ray.data.read_parquet('{}/documents.parquet'.format(sf_dir),
+                               columns=['doc_id', 'text'],
+                               override_num_blocks=n_blocks)
     return minhash_duplicate_pairs(ds, 'doc_id', 'text', threshold=0.8)
 
 

@@ -61,10 +61,49 @@ class MinHasher:
         return h.min(axis=1)
 
 
-class MinHashBandStage:
-    """doc → b rows of (band, band_hash, id, text?) for the LSH groupby."""
+def _batch_shingle_hashes(texts, k):
+    """Shingle hashes for a whole batch in one numpy pass.
 
-    def __init__(self, id_column, text_column, num_perm=128, bands=32,
+    Returns (hashes, seg_starts): ``hashes`` is every document's shingle
+    hashes concatenated; document ``i``'s segment starts at
+    ``seg_starts[i]``.  Identical values to per-doc ``_shingle_hashes``
+    (without the per-doc unique — duplicates cannot change a min)."""
+    bufs = []
+    lens = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        data = t.lower().encode('utf-8')
+        if len(data) < k:
+            data = data + b' ' * (k - len(data))
+        bufs.append(np.frombuffer(data, dtype=np.uint8))
+        lens[i] = len(data)
+    if not bufs:
+        return (np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64))
+    all_bytes = np.concatenate(bufs)
+    windows = np.lib.stride_tricks.sliding_window_view(all_bytes, k) \
+        .astype(np.uint64)
+    powers = np.power(np.uint64(257), np.arange(k, dtype=np.uint64))
+    with np.errstate(over='ignore'):
+        raw = (windows * powers).sum(axis=1)
+    hashes = _splitmix64(raw)
+    # Drop windows that straddle document boundaries: doc i owns global
+    # window positions [starts[i], starts[i] + lens[i] - k].
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    n_sh = lens - k + 1
+    seg_starts = np.concatenate([[0], np.cumsum(n_sh)[:-1]])
+    idx = (np.arange(int(n_sh.sum())) - np.repeat(seg_starts, n_sh)
+           + np.repeat(starts, n_sh))
+    return hashes[idx], seg_starts
+
+
+class MinHashBandStage:
+    """doc → b rows of (band, band_hash, id, text?) for the LSH groupby.
+
+    Fully batch-vectorized: one rolling-hash pass over the batch's
+    concatenated bytes, then per-permutation universal hashes min-reduced
+    per document segment with ``np.minimum.reduceat`` (no per-document
+    Python loop)."""
+
+    def __init__(self, id_column, text_column, num_perm=128, bands=16,
                  shingle_k=5, carry_text=True, seed=1337):
         assert num_perm % bands == 0
         self.id_column = id_column
@@ -75,28 +114,46 @@ class MinHashBandStage:
         self.carry_text = carry_text
         self.hasher = MinHasher(num_perm, seed)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids, texts = batch[self.id_column], batch[self.text_column].fillna('')
-        out_band, out_hash, out_id, out_text = [], [], [], []
-        r = self.rows_per_band
-        for doc_id, text in zip(ids, texts):
-            sig = self.hasher.signature(
-                _shingle_hashes(text, self.shingle_k))
-            bands = sig.reshape(self.bands, r)
+    def signatures(self, texts) -> np.ndarray:
+        """(n_docs, num_perm) minhash signatures for a list of texts."""
+        num_perm = self.hasher.num_perm
+        hashes, seg_starts = _batch_shingle_hashes(texts, self.shingle_k)
+        n_docs = len(seg_starts)
+        sigs = np.empty((num_perm, n_docs), dtype=np.uint64)
+        # Chunk permutations so the (chunk × total_shingles) hash matrix
+        # stays ~32 MB regardless of batch size.
+        chunk = max(1, min(num_perm, int(4e6 / max(len(hashes), 1)) or 1))
+        for c0 in range(0, num_perm, chunk):
+            a = self.hasher.a[c0:c0 + chunk, None]
+            b = self.hasher.b[c0:c0 + chunk, None]
             with np.errstate(over='ignore'):
-                band_hashes = _splitmix64(
-                    (bands * np.power(np.uint64(1099511628211),
-                                      np.arange(r, dtype=np.uint64))).sum(axis=1))
-            for band_idx in range(self.bands):
-                out_band.append(band_idx)
-                out_hash.append(int(band_hashes[band_idx].astype(np.int64)))
-                out_id.append(doc_id)
-                if self.carry_text:
-                    out_text.append(text)
-        data = {'band': out_band, 'band_hash': out_hash,
-                self.id_column: out_id}
+                h = (a * hashes[None, :] + b) % _MERSENNE
+            sigs[c0:c0 + chunk] = np.minimum.reduceat(h, seg_starts, axis=1)
+        return sigs.T
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[self.id_column].to_numpy()
+        texts = batch[self.text_column].fillna('').tolist()
+        if not texts:
+            data = {'band': [], 'band_hash': [], self.id_column: []}
+            if self.carry_text:
+                data[self.text_column] = []
+            return pd.DataFrame(data)
+        r = self.rows_per_band
+        sigs = self.signatures(texts)                       # (n, num_perm)
+        grouped = sigs.reshape(len(texts), self.bands, r)
+        powers = np.power(np.uint64(1099511628211),
+                          np.arange(r, dtype=np.uint64))
+        with np.errstate(over='ignore'):
+            band_hashes = _splitmix64((grouped * powers).sum(axis=2))
+        data = {
+            'band': np.tile(np.arange(self.bands), len(texts)),
+            'band_hash': band_hashes.reshape(-1).astype(np.int64),
+            self.id_column: np.repeat(ids, self.bands),
+        }
         if self.carry_text:
-            data[self.text_column] = out_text
+            data[self.text_column] = np.repeat(
+                batch[self.text_column].fillna('').to_numpy(), self.bands)
         return pd.DataFrame(data)
 
 
@@ -108,20 +165,87 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return len(a & b) / max(len(a | b), 1)
 
 
+
+def _as_arrow(block) -> pa.Table:
+    # to_arrow_refs can surface pandas blocks as-is; normalize.
+    return (block if isinstance(block, pa.Table)
+            else pa.Table.from_pandas(block, preserve_index=False))
+
+_WORKER_CACHE: dict = {}
+
+
+def _worker_cached(key, builder):
+    """Per-worker-process broadcast cache: plain-TASK map_batches functions
+    call this so the ray.get + build happens once per worker, without the
+    spin-up cost and fixed sizing of an actor pool."""
+    val = _WORKER_CACHE.get(key)
+    if val is None:
+        if len(_WORKER_CACHE) > 8:
+            _WORKER_CACHE.clear()
+        val = _WORKER_CACHE[key] = builder()
+    return val
+
+
+def _keys_from_refs(refs):
+    import ray
+
+    def build():
+        tables = [_as_arrow(t) for t in ray.get(list(refs))]
+        chunks = [t.column(0).combine_chunks() for t in tables if len(t)]
+        return pa.concat_arrays(chunks) if chunks else None
+
+    return _worker_cached(('keys',) + tuple(r.hex() for r in refs), build)
+
+
+def _textmap_from_refs(refs, id_column, text_column):
+    import ray
+
+    def build():
+        text_of = {}
+        for t in (_as_arrow(x) for x in ray.get(list(refs))):
+            text_of.update(zip(t.column(id_column).to_pylist(),
+                               t.column(text_column).to_pylist()))
+        return text_of, {}          # (id → text, shingle cache)
+
+    return _worker_cached(('texts',) + tuple(r.hex() for r in refs), build)
+
+
+def _bucket_col(arr, num_buckets) -> pa.Array:
+    from ..state.sketches import hash64_array
+    h = hash64_array(arr.combine_chunks() if hasattr(arr, 'combine_chunks')
+                     else arr)
+    return pa.array((h % np.uint64(num_buckets)).astype(np.int64))
+
+
 def minhash_duplicate_pairs(ds, id_column, text_column, *, threshold=0.8,
-                            num_perm=128, bands=32, shingle_k=5,
-                            concurrency=None):
+                            num_perm=128, bands=16, shingle_k=5,
+                            concurrency=None, num_buckets=None,
+                            broadcast_text_limit=1 << 30):
     """Near-duplicate pairs via MinHash-LSH: returns a Dataset of
     (id_a, id_b, jaccard) with id_a < id_b and exact shingle-Jaccard ≥
     threshold.
 
     Shuffle discipline: only (band, band_hash, id) triples move through the
     LSH groupby — never the text (b small rows per doc); the groupby key is
-    the band id (32 coarse groups) with vectorized in-group bucketing, and
-    ONLY candidate ids' texts are fetched (semi-join via a broadcast id
-    set) for the distributed exact-Jaccard verification."""
-    import ray
+    the band id (32 coarse groups) with vectorized in-group bucketing.
+    Verification is fully distributed: candidate texts are selected by an
+    object-store-broadcast id semi-join (ids only — never texts — touch
+    the driver, and only as ObjectRefs), then joined to the pairs with two
+    hash-bucketed co-groups (by id_a, then id_b), so the exchanges move
+    candidate pairs + candidate texts only — both proportional to the dup
+    rate, not the corpus.
 
+    ``bands=16`` (r=8 rows/band) keeps the candidate rate sane: a pair
+    at similarity s collides with probability 1-(1-s**r)**bands, i.e.
+    ~95% at s=0.8 but only ~6% at s=0.5 (r=4 would pass ~87% of
+    0.5-similar pairs - a candidate explosion at corpus scale).  More
+    bands => higher recall at the threshold AND more candidates."""
+    import ray
+    import ray.data
+
+    if num_buckets is None:
+        num_buckets = max(
+            32, 2 * int(ray.cluster_resources().get('CPU', 8)))
     stage = MinHashBandStage(id_column, text_column, num_perm, bands,
                              shingle_k, carry_text=False)
     kwargs = {'batch_format': 'pandas'}
@@ -152,89 +276,265 @@ def minhash_duplicate_pairs(ds, id_column, text_column, *, threshold=0.8,
             out_a.append(bucket[ii])
             out_b.append(bucket[jj])
         if not out_a:
-            return pd.DataFrame({'id_a': [], 'id_b': []})
+            empty = pd.Series([], dtype=ids.dtype)
+            return pd.DataFrame({'id_a': empty, 'id_b': empty})
         return pd.DataFrame({'id_a': np.concatenate(out_a),
                              'id_b': np.concatenate(out_b)})
 
     candidate_pairs = banded.groupby('band').map_groups(
         band_pairs, batch_format='pandas')
-    # Cross-band dedup on the driver: candidate pairs are proportional to
-    # the near-dup rate, not the corpus (Ray's sort-based aggregate costs
-    # ~0.5 ms per group at 10^5+ tiny groups — measured 190 s for 350 k
-    # pairs — while a pandas drop_duplicates is milliseconds).  If the pair
-    # set ever outgrows the driver, shard it by hash(id_a) with map_batches
-    # and dedupe per shard.
-    pair_ids = candidate_pairs.to_pandas().drop_duplicates(
-        ['id_a', 'id_b'], ignore_index=True)
-    import ray.data
-    if pair_ids.empty:
-        return ray.data.from_pandas(
-            pd.DataFrame({'id_a': [], 'id_b': [], 'jaccard': []}))
-    cand_ids = set(pair_ids['id_a']) | set(pair_ids['id_b'])
-    cand_ref = ray.put(cand_ids)
+    # Materialize the candidate PAIRS (∝ dup rate, not corpus) so the
+    # expensive LSH lineage runs once while the pairs feed two consumers
+    # (the id semi-join and the co-group join).  Blocks stay in the object
+    # store; the driver holds refs only.
+    pairs_m = candidate_pairs.materialize()
+    # The authoritative id type comes from a non-empty pairs block (empty
+    # blocks from pandas map_groups carry a fake float64 schema; a
+    # pandas-backed input Dataset reports numpy dtypes, not Arrow types).
+    id_type = None
+    for ref in pairs_m.to_arrow_refs():
+        t = _as_arrow(ray.get(ref))
+        if t.num_rows and 'id_a' in t.schema.names:
+            id_type = t.schema.field('id_a').type
+            break
+    if id_type is None:
+        schema_t = dict(zip(ds.schema().names, ds.schema().types)) \
+            .get(id_column)
+        if isinstance(schema_t, pa.DataType):
+            id_type = schema_t
+        else:
+            try:
+                id_type = pa.from_numpy_dtype(schema_t)
+            except Exception:
+                id_type = pa.string()
+    if pairs_m.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            'id_a': pa.array([], type=id_type),
+            'id_b': pa.array([], type=id_type),
+            'jaccard': pa.array([], type=pa.float64())}))  # schema-stable empty
 
-    def pick(batch: pd.DataFrame) -> pd.DataFrame:
-        cand = ray.get(cand_ref)
-        return batch[batch[id_column].isin(cand)]
+    def ids_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        # Cast defensively: empty pandas blocks surface float64 id columns
+        # which would otherwise poison Arrow type promotion downstream.
+        both = pa.concat_arrays([
+            batch.column('id_a').combine_chunks().cast(id_type),
+            batch.column('id_b').combine_chunks().cast(id_type)])
+        return pa.table({id_column: pc.unique(both)})
 
-    texts_df = ds.select_columns([id_column, text_column]).map_batches(
-        pick, batch_format='pandas').to_pandas()
-    texts_ref = ray.put(dict(zip(texts_df[id_column],
-                                 texts_df[text_column])))
+    id_refs = pairs_m.map_batches(
+        ids_only, batch_format='pyarrow').to_arrow_refs()
+
     n_cpus = max(1, int(ray.cluster_resources().get('CPU', 2)) // 2)
-    n_parts = min(max(1, len(pair_ids) // 4096), 4 * n_cpus) or 1
-    pairs_ds = ray.data.from_pandas(pair_ids).repartition(max(n_parts, 1))
 
-    class VerifyStage:
-        def __init__(self):
-            self.text_of = ray.get(texts_ref)
-            # Shingle-set cache: each id's set computed once per actor.
-            self.cache = {}
+    def semi(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        keys = _keys_from_refs(id_refs)
+        sub = batch.select([id_column, text_column])
+        if keys is None:
+            return sub.slice(0, 0)
+        hit = pc.is_in(sub.column(id_column), value_set=keys)
+        if hit.null_count:
+            hit = hit.fill_null(False)
+        return sub.filter(hit)
 
-        def _shingles(self, doc_id):
-            s = self.cache.get(doc_id)
+    texts_cand = ds.map_batches(semi, batch_format='pyarrow')
+    # Candidate texts feed BOTH co-group phases: materialize (∝ dup rate)
+    # so the corpus semi-join scan runs once, blocks in the object store.
+    texts_cand = texts_cand.materialize()
+
+    # Fast path: when the candidate texts fit comfortably in a worker's
+    # object store, broadcast them as refs and verify in ONE map_batches
+    # over the pairs — the two bucketed co-group shuffles below each cost
+    # seconds of fixed sort overhead that dwarfs small candidate sets.
+    # The co-group path takes over past the gate (candidate texts at a
+    # 100 TB / high-dup-rate corpus outgrow a single node's store).
+    if texts_cand.size_bytes() <= broadcast_text_limit:
+        text_refs = texts_cand.to_arrow_refs()
+
+        def dedup_pairs(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                'id_a': batch.column('id_a').combine_chunks().cast(id_type),
+                'id_b': batch.column('id_b').combine_chunks().cast(id_type),
+            }).group_by(['id_a', 'id_b']).aggregate([])
+
+        # One block for the cross-band dedup (pair set is gate-small),
+        # then spread verification back over the pool.
+        unique_pairs = pairs_m.repartition(1).map_batches(
+            dedup_pairs, batch_format='pyarrow')
+
+        def broadcast_verify(batch: pa.Table) -> pa.Table:
+            text_of, cache = _textmap_from_refs(text_refs, id_column,
+                                                text_column)
+
+            def sh(doc_id):
+                s = cache.get(doc_id)
+                if s is None:
+                    s = cache[doc_id] = _shingle_hashes(
+                        text_of.get(doc_id) or '', shingle_k)
+                return s
+
+            keep, out_j = [], []
+            ids_a = batch.column('id_a').to_pylist()
+            ids_b = batch.column('id_b').to_pylist()
+            for i, (a, b) in enumerate(zip(ids_a, ids_b)):
+                sa, sb = sh(a), sh(b)
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                sim = inter / union if union else 1.0
+                if sim >= threshold:
+                    keep.append(i)
+                    out_j.append(round(sim, 6))
+            taken = batch.take(pa.array(keep, type=pa.int64()))
+            return pa.table({'id_a': taken.column('id_a'),
+                             'id_b': taken.column('id_b'),
+                             'jaccard': pa.array(out_j, type=pa.float64())})
+
+        return unique_pairs.map_batches(
+            broadcast_verify, batch_format='pyarrow', batch_size=8192)
+
+    # Two-phase bucketed co-group join: attach text_a (bucket by id_a),
+    # then text_b (bucket by id_b) + exact-Jaccard verify.  Union schema:
+    # (_bucket, _side, id_a, id_b, text_a?, text).
+    def tag_pairs_a(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        id_a = batch.column('id_a').combine_chunks().cast(id_type)
+        id_b = batch.column('id_b').combine_chunks().cast(id_type)
+        return pa.table({
+            '_bucket': _bucket_col(id_a, num_buckets),
+            '_side': pa.array(['P'] * n, type=pa.string()),
+            'id_a': id_a,
+            'id_b': id_b,
+            'text': pa.nulls(n, type=pa.string()),
+        })
+
+    def tag_texts(batch: pa.Table, join_col) -> pa.Table:
+        n = batch.num_rows
+        ids = batch.column(id_column)
+        cols = {
+            '_bucket': _bucket_col(ids, num_buckets),
+            '_side': pa.array(['T'] * n, type=pa.string()),
+            'id_a': ids if join_col == 'id_a' else pa.nulls(n, type=ids.type),
+            'id_b': ids if join_col == 'id_b' else pa.nulls(n, type=ids.type),
+            'text': batch.column(text_column).cast(pa.string()),
+        }
+        return pa.table(cols)
+
+    phase1 = pairs_m.map_batches(tag_pairs_a, batch_format='pyarrow').union(
+        texts_cand.map_batches(lambda b: tag_texts(b, 'id_a'),
+                               batch_format='pyarrow'))
+
+    def join_a(group: pa.Table) -> pa.Table:
+        # Arrow end to end: a pandas group would coerce the nullable int id
+        # columns to float64, silently changing the bucket hashes.
+        import pyarrow.compute as pc
+        tmask = pc.equal(group.column('_side'), 'T')
+        t = group.filter(tmask)
+        p = group.filter(pc.invert(tmask))
+        p = p.select(['id_a', 'id_b']).group_by(['id_a', 'id_b']) \
+            .aggregate([])  # cross-band pair dedup
+        text_of = dict(zip(t.column('id_a').to_pylist(),
+                           t.column('text').to_pylist()))
+        texts = [text_of.get(i) for i in p.column('id_a').to_pylist()]
+        return pa.table({'id_a': p.column('id_a'),
+                         'id_b': p.column('id_b'),
+                         'text_a': pa.array(texts, type=pa.string())})
+
+    with_text_a = phase1.groupby('_bucket').map_groups(
+        join_a, batch_format='pyarrow')
+
+    def tag_pairs_b(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        id_a = batch.column('id_a').combine_chunks().cast(id_type)
+        id_b = batch.column('id_b').combine_chunks().cast(id_type)
+        return pa.table({
+            '_bucket': _bucket_col(id_b, num_buckets),
+            '_side': pa.array(['P'] * n, type=pa.string()),
+            'id_a': id_a,
+            'id_b': id_b,
+            'text_a': batch.column('text_a').combine_chunks()
+            .cast(pa.string()),
+            'text': pa.nulls(n, type=pa.string()),
+        })
+
+    def tag_texts_b(batch: pa.Table) -> pa.Table:
+        t = tag_texts(batch, 'id_b')
+        return t.add_column(4, 'text_a',
+                            pa.nulls(t.num_rows, type=pa.string()))
+
+    phase2 = with_text_a.map_batches(
+        tag_pairs_b, batch_format='pyarrow').union(
+        texts_cand.map_batches(tag_texts_b, batch_format='pyarrow'))
+
+    def verify(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        tmask = pc.equal(group.column('_side'), 'T')
+        t = group.filter(tmask)
+        p = group.filter(pc.invert(tmask))
+        text_of = dict(zip(t.column('id_b').to_pylist(),
+                           t.column('text').to_pylist()))
+        cache = {}
+
+        def shingles(doc_id, text):
+            s = cache.get(doc_id)
             if s is None:
-                s = self.cache[doc_id] = set(
-                    _shingle_hashes(self.text_of.get(doc_id, ''),
-                                    shingle_k).tolist())
+                s = cache[doc_id] = _shingle_hashes(text or '', shingle_k)
             return s
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            out_a, out_b, out_j = [], [], []
-            for a, b in zip(batch['id_a'], batch['id_b']):
-                sa, sb = self._shingles(a), self._shingles(b)
-                union = len(sa | sb)
-                sim = len(sa & sb) / union if union else 1.0
-                if sim >= threshold:
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_j.append(round(sim, 6))
-            return pd.DataFrame({'id_a': out_a, 'id_b': out_b,
-                                 'jaccard': out_j})
+        keep, out_j = [], []
+        ids_a = p.column('id_a').to_pylist()
+        ids_b = p.column('id_b').to_pylist()
+        for i, (a, b, ta) in enumerate(zip(ids_a, ids_b,
+                                           p.column('text_a').to_pylist())):
+            sa = shingles(a, ta)
+            sb = shingles(b, text_of.get(b))
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            sim = inter / union if union else 1.0
+            if sim >= threshold:
+                keep.append(i)
+                out_j.append(round(sim, 6))
+        taken = p.take(pa.array(keep, type=pa.int64()))
+        return pa.table({'id_a': taken.column('id_a'),
+                         'id_b': taken.column('id_b'),
+                         'jaccard': pa.array(out_j, type=pa.float64())})
 
-    return pairs_ds.map_batches(
-        VerifyStage, batch_format='pandas', batch_size=8192,
-        concurrency=max(1, min(n_cpus, n_parts)), num_cpus=0.5)
+    return phase2.groupby('_bucket').map_groups(verify, batch_format='pyarrow')
 
 
 def dedup_minhash(ds, id_column, text_column, **kwargs):
     """Near-dup removal: drop the higher id of every duplicate pair.
     (Connected components collapse transitively-linked groups; for the
     common near-dup threshold ≥0.8 pair-wise removal is the standard
-    first-order policy.)"""
-    pairs = minhash_duplicate_pairs(ds, id_column, text_column, **kwargs)
-    losers = {row['id_b'] for row in pairs.take_all()}
-    if not losers:
-        return ds
+    first-order policy.)
+
+    The loser-id set is broadcast as object-store refs (ids only, one
+    8-byte value per duplicate) — the driver and worker heaps never hold
+    texts or the full pair set."""
     import ray
-    losers_ref = ray.put(losers)
+    import pyarrow.compute as pc
 
-    def drop(batch: pd.DataFrame) -> pd.DataFrame:
-        import ray as _ray
-        drop_set = _ray.get(losers_ref)
-        return batch[~batch[id_column].isin(drop_set)]
+    pairs = minhash_duplicate_pairs(ds, id_column, text_column, **kwargs)
 
-    return ds.map_batches(drop, batch_format='pandas')
+    def losers_only(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_column: pc.unique(batch.column('id_b').combine_chunks())})
+
+    loser_refs = pairs.map_batches(
+        losers_only, batch_format='pyarrow').to_arrow_refs()
+    if sum(len(ray.get(r)) for r in loser_refs) == 0:
+        return ds
+
+    def drop(batch: pa.Table) -> pa.Table:
+        keys = _keys_from_refs(loser_refs)
+        if keys is None:
+            return batch
+        hit = pc.is_in(batch.column(id_column), value_set=keys)
+        if hit.null_count:
+            hit = hit.fill_null(False)
+        return batch.filter(pc.invert(hit))
+
+    return ds.map_batches(drop, batch_format='pyarrow')
 
 
 # ---------------------------------------------------------------------------

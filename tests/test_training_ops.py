@@ -83,12 +83,34 @@ def test_minhash_recall_and_precision(ray_session, docs):
     pairs = minhash_duplicate_pairs(sub, 'doc_id', 'text',
                                     threshold=0.8).take_all()
     found = {(p['id_a'], p['id_b']) for p in pairs}
-    # Recall: every strong pair (>=0.85) must be found (banding miss
-    # probability at s=0.85 is ~5e-11 with 32 bands of 4 rows).
+    # Recall: every strong pair (>=0.85) must be found (expected banding
+    # miss rate at s=0.85 is ~0.6% with 16 bands of 8 rows; deterministic
+    # here because the permutations and corpus are seeded).
     assert truth <= found, truth - found
     # Precision: every reported pair passed exact verification >= 0.8.
     for p in pairs:
         assert p['jaccard'] >= 0.8
+
+
+def test_minhash_cogroup_path_matches_broadcast(ray_session, docs):
+    """broadcast_text_limit=0 forces the at-scale bucketed co-group join;
+    its verified pair set must equal the broadcast fast path's."""
+    import ray.data
+    from python_fastjsonschema_ray.stages.dedup import minhash_duplicate_pairs
+    df = docs.to_pandas().head(60).copy()
+    clones = df.head(6).copy()
+    clones['doc_id'] = clones['doc_id'] + 100000
+    clones['text'] = clones['text'] + ' tail'
+    both = pd.concat([df, clones], ignore_index=True)
+    fast = minhash_duplicate_pairs(
+        ray.data.from_pandas(both), 'doc_id', 'text',
+        threshold=0.8).take_all()
+    slow = minhash_duplicate_pairs(
+        ray.data.from_pandas(both), 'doc_id', 'text',
+        threshold=0.8, broadcast_text_limit=0).take_all()
+    key = lambda p: (p['id_a'], p['id_b'], round(p['jaccard'], 6))
+    assert sorted(map(key, fast)) == sorted(map(key, slow))
+    assert len(fast) >= 6
 
 
 def test_dedup_minhash_removes_losers(ray_session, docs):
