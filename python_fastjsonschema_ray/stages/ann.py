@@ -143,13 +143,63 @@ def build_ivf(ds, embedding_column, nlist=64, sample_rows=10_000,
     return tagged, centroids
 
 
-def topk_cosine_ivf(tagged_ds, centroids, id_column, embedding_column, query,
-                    k=10, nprobe=8) -> pd.DataFrame:
-    """Probe only the nprobe nearest clusters, then exact top-k within."""
+def _probe_clusters(centroids, query, nprobe) -> list:
     q = np.asarray(query, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     order = np.argsort(-(_unit(centroids) @ qn))
-    probe = set(int(c) for c in order[:nprobe])
-    subset = tagged_ds.filter(
-        lambda row: row['ivf_cluster'] in probe)
-    return topk_cosine(subset, id_column, embedding_column, q, k=k)
+    return sorted(int(c) for c in order[:nprobe])
+
+
+def topk_cosine_ivf(tagged_ds, centroids, id_column, embedding_column, query,
+                    k=10, nprobe=8) -> pd.DataFrame:
+    """Probe only the nprobe nearest clusters, then exact top-k within.
+
+    The probe is a vectorized Arrow ``is_in`` batch filter (no per-row
+    Python).  This still scans every block of ``tagged_ds``; the true
+    scale path is :func:`write_ivf_partitioned` + :func:`topk_cosine_ivf_partitioned`,
+    which reads only ~nprobe/nlist of the stored bytes."""
+    import pyarrow.compute as pc
+
+    probe = pa.array(_probe_clusters(centroids, query, nprobe),
+                     type=pa.int64())
+
+    def probe_filter(batch: pa.Table) -> pa.Table:
+        hit = pc.is_in(batch.column('ivf_cluster').combine_chunks()
+                       .cast(pa.int64()), value_set=probe)
+        return batch.filter(hit)
+
+    subset = tagged_ds.map_batches(probe_filter, batch_format='pyarrow')
+    return topk_cosine(subset, id_column, embedding_column,
+                       np.asarray(query, dtype=np.float64), k=k)
+
+
+def write_ivf_partitioned(tagged_ds, path):
+    """Persist the tagged dataset hive-partitioned by ``ivf_cluster`` so a
+    probe can read ONLY the matching cluster directories (the docstring
+    promise of :func:`build_ivf` at 10^12 rows)."""
+    tagged_ds.write_parquet(path, partition_cols=['ivf_cluster'])
+
+
+def topk_cosine_ivf_partitioned(path, centroids, id_column,
+                                embedding_column, query, k=10,
+                                nprobe=8) -> pd.DataFrame:
+    """Selective-read probe: open only the ``ivf_cluster=<c>`` partitions
+    of a :func:`write_ivf_partitioned` layout and run exact top-k there —
+    I/O scales with nprobe/nlist, not corpus size."""
+    import ray.data
+
+    import os
+
+    probe = _probe_clusters(centroids, query, nprobe)
+    files = []
+    for c in probe:
+        d = '{}/ivf_cluster={}'.format(path.rstrip('/'), c)
+        if os.path.isdir(d):
+            files.extend(os.path.join(d, f) for f in sorted(os.listdir(d))
+                         if f.endswith('.parquet'))
+    if not files:
+        return pd.DataFrame({'query': [], id_column: [], 'sim': []})
+    subset = ray.data.read_parquet(files,
+                                   columns=[id_column, embedding_column])
+    return topk_cosine(subset, id_column, embedding_column,
+                       np.asarray(query, dtype=np.float64), k=k)

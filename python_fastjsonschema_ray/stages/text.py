@@ -121,26 +121,89 @@ class LangIdStage:
 
 
 class FingerprintStage:
-    """Deterministic document fingerprint: polynomial rolling hash of the
-    whitespace-normalized lowercased text → int64.  Equal normalized content
-    ⇔ equal fingerprint (content-defined exact-dup key)."""
+    """Deterministic document fingerprint: polynomial hash (base B, mod
+    2^64 wraparound) of the whitespace-normalized lowercased text, mixed
+    through splitmix64 → int64.  Equal normalized content ⇔ equal
+    fingerprint (content-defined exact-dup key).
 
-    MOD = (1 << 61) - 1
-    BASE = 262_083
+    The kernel is batch-vectorized with the prefix trick: for the batch's
+    concatenated bytes, ``T[i] = Σ_{j<i} b[j]·B^{-j}`` (one cumsum of
+    uint64 products; B odd ⇒ invertible mod 2^64), and document [s, e)
+    hashes to ``B^{e-1}·(T[e] - T[s])`` — position-independent, no
+    per-byte Python loop (this stage touches every byte of the corpus)."""
+
+    BASE = np.uint64(262_083)
+    BASE_INV = np.uint64(pow(262_083, -1, 1 << 64))
 
     def __init__(self, column='text'):
         self.column = column
 
     def fingerprint(self, text: str) -> int:
-        normalized = ' '.join(text.lower().split())
+        """Scalar reference (same values as the batch kernel)."""
+        data = ' '.join(text.lower().split()).encode('utf-8')
         h = 0
-        for ch in normalized.encode('utf-8'):
-            h = (h * self.BASE + ch) % self.MOD
-        return h - (1 << 62) if h > (1 << 61) else h
+        for ch in data:
+            h = (h * 262_083 + ch) & 0xFFFFFFFFFFFFFFFF
+        return int(self._mix(np.array([h], dtype=np.uint64))[0])
+
+    @staticmethod
+    def _mix(h: np.ndarray) -> np.ndarray:
+        from ..state.sketches import _splitmix64
+        return _splitmix64(h).astype(np.int64)
+
+    @staticmethod
+    def _geometric(base_int: int, n: int) -> np.ndarray:
+        """[1, B, B^2, ..., B^(n-1)] mod 2^64 as int64, built block-wise
+        (ufunc.accumulate has no fast int64 loop; two small accumulates
+        plus one broadcast multiply do the same work vectorized)."""
+        k = 2048
+        small = np.empty(min(k, n), dtype=np.int64)
+        small[0] = 1
+        if len(small) > 1:
+            with np.errstate(over='ignore'):
+                np.multiply.accumulate(
+                    np.full(len(small) - 1, base_int, dtype=np.int64),
+                    out=small[1:])
+        if n <= k:
+            return small[:n]
+        nblocks = -(-n // k)
+        step = pow(base_int & 0xFFFFFFFFFFFFFFFF, k, 1 << 64)
+        step = step - (1 << 64) if step >= (1 << 63) else step
+        big = np.empty(nblocks, dtype=np.int64)
+        big[0] = 1
+        with np.errstate(over='ignore'):
+            np.multiply.accumulate(
+                np.full(nblocks - 1, step, dtype=np.int64), out=big[1:])
+            grid = big[:, None] * small[None, :]
+        return grid.reshape(-1)[:n]
+
+    def fingerprints(self, texts) -> np.ndarray:
+        bufs = [(' '.join(t.lower().split())).encode('utf-8') for t in texts]
+        lens = np.fromiter((len(b) for b in bufs), dtype=np.int64,
+                           count=len(bufs))
+        if lens.sum() == 0:
+            return self._mix(np.zeros(len(bufs), dtype=np.uint64))
+        data = np.frombuffer(b''.join(bufs), dtype=np.uint8) \
+            .astype(np.int64)
+        n = len(data)
+        base_i = int(self.BASE.view(np.int64) if hasattr(self.BASE, 'view')
+                     else self.BASE)
+        inv_i = int(np.uint64(self.BASE_INV).view(np.int64))
+        with np.errstate(over='ignore'):
+            inv_powers = self._geometric(inv_i, n)
+            powers = self._geometric(base_i, n)
+            prefix = np.concatenate(
+                [[np.int64(0)], np.cumsum(data * inv_powers)])
+            ends = np.cumsum(lens)
+            starts = ends - lens
+            h = (prefix[ends] - prefix[starts]) \
+                * powers[np.maximum(ends - 1, 0)]
+        h[lens == 0] = 0
+        return self._mix(h.view(np.uint64))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch['fingerprint'] = [
-            self.fingerprint(t) for t in batch[self.column].fillna('')]
+        batch['fingerprint'] = self.fingerprints(
+            batch[self.column].fillna('').tolist())
         return batch
 
 

@@ -30,17 +30,32 @@ import numpy as np
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
+_SM_GOLDEN = np.int64(-7046029254386353131)
+_SM_C1 = np.int64(-4658895280553007687)
+_SM_C2 = np.int64(-7723592293110705685)
+
+
+def _lshr(v: np.ndarray, k: int) -> np.ndarray:
+    """Logical right shift on int64 (arithmetic shift + mask)."""
+    return (v >> k) & np.int64((1 << (64 - k)) - 1)
+
+
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer — a well-mixed 64-bit hash for
-    integer keys (public-domain constant set)."""
-    x = x.astype(np.uint64, copy=True)
+    integer keys (public-domain constant set).
+
+    Bit-identical to the canonical uint64 formulation but computed in
+    int64 two's-complement wraparound: this numpy build's uint64
+    multiply/shift loops are ~6-12x slower than the SIMD int64 ones."""
+    x = np.asarray(x)
+    if x.dtype != np.int64:
+        x = x.astype(np.uint64, copy=False).view(np.int64)
     with np.errstate(over='ignore'):
-        x += np.uint64(0x9E3779B97F4A7C15)
-        z = x
-        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        z = z ^ (z >> np.uint64(31))
-    return z
+        z = x + _SM_GOLDEN
+        z = (z ^ _lshr(z, 30)) * _SM_C1
+        z = (z ^ _lshr(z, 27)) * _SM_C2
+        z = z ^ _lshr(z, 31)
+    return z.view(np.uint64)
 
 
 def _hash_bytes_array(values) -> np.ndarray:

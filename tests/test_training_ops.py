@@ -180,3 +180,44 @@ def test_ivf_recall(embeddings):
     approx = set(topk_cosine_ivf(tagged, centroids, 'vec_id', 'embedding',
                                  q, k=10, nprobe=4)['vec_id'])
     assert len(exact & approx) >= 6   # recall ≥ 0.6 with half the lists probed
+
+
+def test_ivf_probe_equals_bruteforce_on_probed_clusters(embeddings):
+    """The vectorized probe must return EXACTLY the top-k of the rows in
+    the probed clusters (no per-row Python filter semantics drift)."""
+    from python_fastjsonschema_ray.stages.ann import (
+        _probe_clusters, build_ivf, topk_cosine_ivf)
+    rng = np.random.default_rng(17)
+    q = rng.standard_normal(64)
+    tagged, centroids = build_ivf(embeddings, 'embedding', nlist=8)
+    probe = set(_probe_clusters(centroids, q, nprobe=3))
+    tdf = tagged.to_pandas()
+    sub = tdf[tdf['ivf_cluster'].isin(probe)]
+    mat = np.stack(sub['embedding'].to_numpy()).astype(np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    qn = q / np.linalg.norm(q)
+    expected = sub['vec_id'].to_numpy()[np.argsort(-(unit @ qn))][:10]
+    got = topk_cosine_ivf(tagged, centroids, 'vec_id', 'embedding', q,
+                          k=10, nprobe=3)
+    assert got['vec_id'].tolist() == expected.tolist()
+
+
+def test_ivf_partitioned_write_and_selective_read(embeddings, tmp_path):
+    """write_ivf_partitioned + topk_cosine_ivf_partitioned read only the
+    probed cluster directories and match the scan-probe result."""
+    import os
+    from python_fastjsonschema_ray.stages.ann import (
+        _probe_clusters, build_ivf, topk_cosine_ivf,
+        topk_cosine_ivf_partitioned, write_ivf_partitioned)
+    rng = np.random.default_rng(23)
+    q = rng.standard_normal(64)
+    tagged, centroids = build_ivf(embeddings, 'embedding', nlist=8)
+    path = str(tmp_path / 'ivf')
+    write_ivf_partitioned(tagged, path)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith('ivf_cluster='))
+    assert len(dirs) >= 2            # hive layout, one dir per cluster
+    scan = topk_cosine_ivf(tagged, centroids, 'vec_id', 'embedding', q,
+                           k=10, nprobe=4)
+    sel = topk_cosine_ivf_partitioned(path, centroids, 'vec_id',
+                                      'embedding', q, k=10, nprobe=4)
+    assert scan['vec_id'].tolist() == sel['vec_id'].tolist()
