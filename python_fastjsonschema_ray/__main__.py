@@ -22,6 +22,10 @@ import sys
 
 
 def _load_schema(path):
+    # '-' reads the schema from stdin, like the reference CLI
+    # (fastjsonschema/__main__.py:7-19 pipes the definition through stdin).
+    if path == '-':
+        return json.load(sys.stdin)
     with open(path) as f:
         return json.load(f)
 

@@ -57,7 +57,10 @@ def embedding_matrix(column) -> np.ndarray:
             t = arr.type
     if pa.types.is_fixed_size_list(t):
         dim = t.list_size
-        flat = np.asarray(arr.values, dtype=np.float64)
+        # .values returns the FULL child array; slice by offset so a
+        # zero-copy sliced batch doesn't yield misaligned rows.
+        child = arr.values[arr.offset * dim:(arr.offset + len(arr)) * dim]
+        flat = np.asarray(child, dtype=np.float64)
         return flat.reshape(len(arr), dim)
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         flat = np.asarray(arr.flatten(), dtype=np.float64)

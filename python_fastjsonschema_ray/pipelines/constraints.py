@@ -276,13 +276,17 @@ class _AntiJoinStage:
         self.keys = pa.array(keys) if not isinstance(keys, pa.Array) else keys
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch.column(self.column)
+        col = batch.column(self.column).combine_chunks()
+        # Policy (uniform across all referential variants, matching the
+        # uniqueness check and SQL anti-join semantics): NULL foreign keys
+        # are skipped, never reported as violations.
+        valid = col.is_valid()
         if len(self.keys) == 0:
-            return batch
+            return batch.filter(valid)
         hit = pc.is_in(col, value_set=self.keys, skip_nulls=False)
         if hit.null_count:
             hit = hit.fill_null(False)
-        return batch.filter(pc.invert(hit))
+        return batch.filter(pc.and_(pc.invert(hit), valid))
 
 
 def check_referential(ds, column, ref_ds, ref_column, concurrency=None):
@@ -312,9 +316,12 @@ class _BloomAntiStage:
             self.bloom = BloomFilter.deserialize(self.bloom)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hashes = hash64_array(batch.column(self.column).combine_chunks())
+        col = batch.column(self.column).combine_chunks()
+        hashes = hash64_array(col)
         hit = self.bloom.contains_hashes(hashes)
-        return batch.filter(pa.array(~hit))
+        # Null FKs are skipped (same policy as _AntiJoinStage).
+        keep = pa.array(~hit)
+        return batch.filter(pc.and_(keep, col.is_valid()))
 
 
 def check_referential_bloom(ds, column, ref_ds, ref_column,
@@ -370,7 +377,8 @@ def check_referential_large(ds, column, ref_ds, ref_column, num_buckets=64):
     def anti(group: pd.DataFrame) -> pd.DataFrame:
         right_keys = set(group.loc[group['_side'] == 'R', ref_column])
         lhs = group[group['_side'] == 'L']
-        out = lhs[~lhs[column].isin(right_keys)]
+        # Null FKs are skipped (same policy as _AntiJoinStage).
+        out = lhs[~lhs[column].isin(right_keys) & lhs[column].notna()]
         return out.drop(columns=['_bucket', '_side']
                         + ([ref_column] if ref_column != column
                            and ref_column in out.columns else []))

@@ -36,6 +36,15 @@ def plan_hash(definition, flags=None) -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
+def partition_id(input_path: str) -> str:
+    """Partition identity is the INPUT PATH (content-addressed dir name),
+    never a positional index: adding/removing/renaming an input file
+    between runs must not re-attribute finished outputs or skip
+    unprocessed shards."""
+    digest = hashlib.sha256(str(input_path).encode()).hexdigest()[:12]
+    return 'part={}'.format(digest)
+
+
 class RunManifest:
     def __init__(self, out_dir: str, plan: str):
         self.out_dir = out_dir
@@ -53,8 +62,16 @@ class RunManifest:
         else:
             self.state = {'plan_hash': plan, 'partitions': {}}
 
-    def is_done(self, part_id: str) -> bool:
-        return part_id in self.state['partitions']
+    def is_done(self, part_id: str, input_path: str = None) -> bool:
+        rec = self.state['partitions'].get(part_id)
+        if rec is None:
+            return False
+        if input_path is not None and rec.get('input') != str(input_path):
+            raise ValueError(
+                'manifest partition {} records input {!r} but this run maps '
+                'it to {!r}; refusing to resume over mismatched lineage'
+                .format(part_id, rec.get('input'), str(input_path)))
+        return True
 
     def record(self, part_id: str, **lineage):
         self.state['partitions'][part_id] = lineage
@@ -73,42 +90,97 @@ class RunManifest:
         }
 
 
+# Per-worker-process compiled-validator cache for the dual-output pass
+# (same pattern as pipelines/flagship._STAGE_CACHE).
+_VALIDATOR_CACHE = {}
+
+
+def _parquet_rows(directory: str) -> int:
+    import pyarrow.parquet as pq
+    total = 0
+    for name in os.listdir(directory):
+        if name.endswith('.parquet'):
+            total += pq.ParquetFile(os.path.join(directory, name)) \
+                .metadata.num_rows
+    return total
+
+
 def run_validation_job(input_files, definition, out_dir, *, key_column=None,
                        flags=None, concurrency=None):
     """Resumable validation over a list of input parquet shards.
 
-    Each shard is an independent Ray Data pipeline (read → validate →
-    write verdicts + violations) whose output directory is committed
-    atomically, then recorded in the manifest.  Re-running skips completed
-    shards.  At cluster scale there are far more shards than nodes, so
-    per-shard sequencing on the driver does not limit parallelism; within a
-    shard the streaming executor parallelizes freely."""
+    SINGLE validation pass per shard: one read → one compiled-validator
+    ``map_batches`` that returns the annotated verdict rows AND writes each
+    batch's violation rows directly from the worker (verdicts via Ray's
+    ``write_parquet``, violations as per-batch files into the same
+    partition dir — both land on the shard's storage, as any distributed
+    write does).  Row/violation counts come from the written parquet
+    footers, so nothing re-executes.  The output directory is committed
+    atomically (write to ``<part>.tmp``, rename), then recorded in the
+    manifest; partitions are keyed by input-path hash (see
+    :func:`partition_id`), so re-running skips exactly the finished
+    inputs.  At cluster scale there are far more shards than nodes, so
+    per-shard sequencing on the driver does not limit parallelism; within
+    a shard the streaming executor parallelizes freely."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
     import ray.data
-    from .validate import validate_dataset
+
+    from .validate import VIOLATIONS_SCHEMA, TableValidator
 
     flags = flags or {}
+    def_json = json.dumps(definition, sort_keys=True, default=str)
+    flags_json = json.dumps(flags, sort_keys=True, default=str)
     manifest = RunManifest(out_dir, plan_hash(definition, flags))
-    for idx, path in enumerate(sorted(input_files)):
-        part_id = 'part=%05d' % idx
-        if manifest.is_done(part_id):
+    for path in sorted(input_files):
+        part_id = partition_id(path)
+        if manifest.is_done(part_id, input_path=str(path)):
             continue
         t0 = time.time()
         part_dir = os.path.join(out_dir, part_id)
         tmp_dir = part_dir + '.tmp'
         if os.path.exists(tmp_dir):
             shutil.rmtree(tmp_dir)
-        os.makedirs(tmp_dir)
+        verd_dir = os.path.join(tmp_dir, 'verdicts')
+        viol_dir = os.path.join(tmp_dir, 'violations')
+        os.makedirs(verd_dir)
+        os.makedirs(viol_dir)
+
         ds = ray.data.read_parquet(path)
-        annotated = validate_dataset(ds, definition, mode='annotate',
-                                     key_column=key_column,
-                                     concurrency=concurrency, **flags)
-        annotated.write_parquet(os.path.join(tmp_dir, 'verdicts'))
-        violations = validate_dataset(ds, definition, mode='violations',
-                                      key_column=key_column,
-                                      concurrency=concurrency, **flags)
-        violations.write_parquet(os.path.join(tmp_dir, 'violations'))
-        n_violations = violations.count()
-        n_rows = ds.count()
+        arrow_schema = pa.schema(
+            [pa.field(n, t) for n, t in
+             zip(ds.schema().names, ds.schema().types)])
+        schema_bytes = arrow_schema.serialize().to_pybytes()
+
+        def run_batch(batch: pa.Table, _viol_dir=viol_dir) -> pa.Table:
+            key = (schema_bytes, def_json, flags_json, key_column)
+            validator = _VALIDATOR_CACHE.get(key)
+            if validator is None:
+                if len(_VALIDATOR_CACHE) > 8:
+                    _VALIDATOR_CACHE.clear()
+                validator = _VALIDATOR_CACHE[key] = TableValidator(
+                    json.loads(def_json),
+                    pa.ipc.read_schema(pa.BufferReader(schema_bytes)),
+                    key_column=key_column, **json.loads(flags_json))
+            result = validator.validate_batch(batch)
+            violations = validator.violations_table(batch, result)
+            if violations.num_rows:
+                pq.write_table(violations, os.path.join(
+                    _viol_dir, uuid.uuid4().hex + '.parquet'))
+            return result.output.append_column(
+                'valid', pa.array(result.valid, type=pa.bool_()))
+
+        annotated = ds.map_batches(run_batch, batch_format='pyarrow',
+                                   zero_copy_batch=True)
+        annotated.write_parquet(verd_dir)
+        if not any(f.endswith('.parquet') for f in os.listdir(viol_dir)):
+            # Keep the violations side readable as a (possibly empty) table.
+            pq.write_table(VIOLATIONS_SCHEMA.empty_table(),
+                           os.path.join(viol_dir, 'empty.parquet'))
+        n_rows = _parquet_rows(verd_dir)
+        n_violations = _parquet_rows(viol_dir)
         if os.path.exists(part_dir):
             shutil.rmtree(part_dir)
         os.replace(tmp_dir, part_dir)

@@ -180,13 +180,17 @@ class HyperLogLog:
         p = np.uint64(self.p)
         idx = (hashes >> (np.uint64(64) - p)).astype(np.int64)
         w = (hashes << p) & _MASK64
-        # rho = leading zeros of w within 64-p bits, + 1
-        bits = np.zeros(len(w), dtype=np.int64)
+        # rho = leading zeros of w within 64-p bits, + 1.  bit_length is
+        # computed with integer shifts (6 vectorized passes): float log2
+        # rounds UP near power-of-two boundaries above 2^53, which would
+        # bias rho low for large w.
         nz = w > 0
-        # floor(log2(w)) via float conversion is exact enough for >0 values
-        # well below 2^53 after shifting; use bit_length-style loop-free calc.
-        wf = w[nz].astype(np.float64)
-        bits_nz = np.floor(np.log2(wf)).astype(np.int64)
+        v = w[nz].copy()
+        bits_nz = np.zeros(len(v), dtype=np.int64)
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = v >= (np.uint64(1) << np.uint64(shift))
+            bits_nz[big] += shift
+            v[big] >>= np.uint64(shift)
         rho = np.empty(len(w), dtype=np.uint8)
         rho[nz] = np.minimum(63 - bits_nz + 1, 64 - self.p + 1).astype(np.uint8)
         rho[~nz] = np.uint8(64 - self.p + 1)

@@ -178,3 +178,35 @@ def test_check_referential_bloom(ray_session, ddb):
     # All 20 planted orphans found (up to fpr misses — none expected at
     # this scale with overwhelming probability).
     assert n == 20
+
+
+def test_referential_null_fk_policy(ray_session):
+    """Uniform policy: NULL foreign keys are skipped by every referential
+    variant (SQL anti-join semantics), matching the uniqueness check."""
+    import pyarrow as pa
+    import ray.data
+    from python_fastjsonschema_ray.pipelines.constraints import (
+        check_referential, check_referential_bloom, check_referential_large)
+    left = ray.data.from_arrow(pa.table({
+        'id': pa.array([1, 2, 3, 4], type=pa.int64()),
+        'fk': pa.array([10, None, 99, None], type=pa.int64())}))
+    ref = ray.data.from_arrow(pa.table({
+        'k': pa.array([10, 20], type=pa.int64())}))
+    out = check_referential(left, 'fk', ref, 'k').to_pandas()
+    assert out['id'].tolist() == [3]          # only the real orphan
+    out_b, _ = check_referential_bloom(left, 'fk', ref, 'k')
+    assert out_b.to_pandas()['id'].tolist() == [3]
+    out_l = check_referential_large(left, 'fk', ref, 'k').to_pandas()
+    assert sorted(out_l['id'].tolist()) == [3]
+
+
+def test_embedding_matrix_sliced_fixed_size_list():
+    import pyarrow as pa
+    import numpy as np
+    from python_fastjsonschema_ray.functions.arrowutil import embedding_matrix
+    flat = pa.array(np.arange(24, dtype=np.float32))
+    fsl = pa.FixedSizeListArray.from_arrays(flat, 4)     # 6 rows of dim 4
+    sliced = fsl.slice(2, 3)                             # rows 2..4
+    got = embedding_matrix(sliced)
+    expected = np.arange(24, dtype=np.float64).reshape(6, 4)[2:5]
+    assert np.array_equal(got, expected)

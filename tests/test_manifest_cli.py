@@ -20,7 +20,7 @@ def test_plan_hash_stability():
 def test_run_validation_job_resumes(ray_session, tmp_path):
     import pyarrow as pa
     from python_fastjsonschema_ray.pipelines.manifest import (
-        RunManifest, plan_hash, run_validation_job)
+        RunManifest, partition_id, plan_hash, run_validation_job)
     # Two input shards.
     shards = []
     for i in range(2):
@@ -37,21 +37,49 @@ def test_run_validation_job_resumes(ray_session, tmp_path):
     assert summary['rows'] == 20
     assert summary['violations'] == 4   # two rows < 0 per shard
 
-    # Outputs exist per partition.
-    assert os.path.exists(os.path.join(out, 'part=00000', 'verdicts'))
-    assert os.path.exists(os.path.join(out, 'part=00001', 'violations'))
+    # Outputs exist per partition (dirs are input-path-keyed).
+    p0, p1 = partition_id(shards[0]), partition_id(shards[1])
+    assert os.path.exists(os.path.join(out, p0, 'verdicts'))
+    assert os.path.exists(os.path.join(out, p1, 'violations'))
+    # Violations of shard 0: two rows (v = -2, -1) with full detail.
+    vdf = pq.read_table(os.path.join(out, p0, 'violations')).to_pandas()
+    assert len(vdf) == 2 and set(vdf['rule']) == {'minimum'}
 
     # Resume: drop one partition from the manifest, rerun → only it reruns.
     manifest_path = os.path.join(out, '_manifest.json')
     state = json.load(open(manifest_path))
     before = dict(state['partitions'])
-    del state['partitions']['part=00001']
+    del state['partitions'][p1]
     json.dump(state, open(manifest_path, 'w'))
     summary2 = run_validation_job(shards, spec, out, key_column='id')
     assert summary2['partitions'] == 2
     state2 = json.load(open(manifest_path))
-    # part=00000 untouched (identical lineage record object).
-    assert state2['partitions']['part=00000'] == before['part=00000']
+    # The untouched partition keeps its identical lineage record object.
+    assert state2['partitions'][p0] == before[p0]
+
+    # Adding a new shard resumes without disturbing finished ones and
+    # without re-attributing outputs (the round-1 positional-index bug).
+    p_new = tmp_path / 'in_added.parquet'
+    pq.write_table(pa.table({
+        'id': pa.array([100], type=pa.int64()),
+        'v': pa.array([-7], type=pa.int64())}), p_new)
+    summary3 = run_validation_job(shards + [str(p_new)], spec, out,
+                                  key_column='id')
+    assert summary3['partitions'] == 3
+    assert summary3['violations'] == 5
+    state3 = json.load(open(manifest_path))
+    assert state3['partitions'][p0] == before[p0]
+
+    # A tampered lineage record (same part id, different input) refuses.
+    state3['partitions'][p0]['input'] = '/somewhere/else.parquet'
+    json.dump(state3, open(manifest_path, 'w'))
+    with pytest.raises(ValueError):
+        run_validation_job(shards, spec, out, key_column='id')
+    json.dump(
+        dict(state3, partitions={**state3['partitions'],
+                                 p0: dict(state3['partitions'][p0],
+                                          input=shards[0])}),
+        open(manifest_path, 'w'))
 
     # A different spec refuses to reuse the output dir.
     with pytest.raises(ValueError):
@@ -87,3 +115,13 @@ def test_cli_compile_and_validate(tmp_path):
     res = json.loads(out.stdout)
     assert res['valid'] is False
     assert 'data.a must be integer' in res['error']
+
+
+def test_cli_schema_from_stdin(tmp_path):
+    """'-' reads the schema from stdin (reference CLI parity)."""
+    out = subprocess.run(
+        [sys.executable, '-m', 'python_fastjsonschema_ray', 'compile', '-'],
+        input=json.dumps({'properties': {'x': {'type': 'string'}}}),
+        capture_output=True, text=True, cwd='/root/repo')
+    assert out.returncode == 0, out.stderr
+    assert json.loads(out.stdout)['status'] == 'ok'
