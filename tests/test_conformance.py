@@ -1,0 +1,111 @@
+"""Self-contained JSON-Schema-Test-Suite conformance slice.
+
+The reference's primary correctness harness is the official suite
+(``/root/reference/tests/json_schema/utils.py:73-129``), whose submodule is
+empty in this checkout, so ``tests/conformance/draft{4,6,7}.json`` carries a
+representative authored slice (official-suite shape: groups of
+``{description, schema, tests: [{description, data, valid}]}``), avoiding
+the areas the reference itself xfails (remote refs, ecmascript-regex,
+idn-hostname, full time-format semantics).
+
+Three assertions per (schema, data) pair:
+  1. scalar engine outcome == reference outcome (full exception payload);
+  2. scalar engine verdict == the official suite's ``valid`` flag
+     (calibrated: the reference agrees on every included case);
+  3. the vectorized path, driven through a one-column table wrap, matches
+     the reference row-by-row (via test_vector_parity.assert_table_parity).
+"""
+
+import copy
+import json
+import os
+
+import pyarrow as pa
+import pytest
+
+from .test_vector_parity import assert_table_parity
+
+HERE = os.path.dirname(__file__)
+DRAFT_URI = {
+    4: 'http://json-schema.org/draft-04/schema',
+    6: 'http://json-schema.org/draft-06/schema',
+    7: 'http://json-schema.org/draft-07/schema',
+}
+
+
+def _load(draft):
+    with open(os.path.join(HERE, 'conformance',
+                           'draft{}.json'.format(draft))) as f:
+        return json.load(f)
+
+
+def _params():
+    out = []
+    for draft in (4, 6, 7):
+        for group in _load(draft):
+            out.append(pytest.param(
+                draft, group,
+                id='draft{}:{}'.format(draft, group['description'])))
+    return out
+
+
+def _with_draft(schema, draft):
+    schema = copy.deepcopy(schema)
+    if isinstance(schema, dict):
+        schema.setdefault('$schema', DRAFT_URI[draft])
+    return schema
+
+
+def _outcome(validate, data, value_exc, values_exc):
+    try:
+        out = validate(copy.deepcopy(data))
+        return ('ok', out)
+    except value_exc as exc:
+        if values_exc is not None and isinstance(exc, values_exc):
+            return ('fail', [(e.name, e.message, e.rule, e.definition,
+                              e.value) for e in exc.errors])
+        return ('fail', [(exc.name, exc.message, exc.rule, exc.definition,
+                          exc.value)])
+
+
+@pytest.mark.parametrize('draft,group', _params())
+def test_conformance_scalar(reference, draft, group):
+    import python_fastjsonschema_ray as engine
+
+    schema = _with_draft(group['schema'], draft)
+    ref_v = reference.compile(copy.deepcopy(schema))
+    eng_v = engine.compile(copy.deepcopy(schema))
+    for t in group['tests']:
+        expected = _outcome(ref_v, t['data'],
+                            reference.JsonSchemaValueException, None)
+        got = _outcome(eng_v, t['data'],
+                       engine.JsonSchemaValueException, None)
+        ctx = '{} / {}'.format(group['description'], t['description'])
+        assert got == expected, (
+            'engine != reference at ' + ctx
+            + '\nexpected: {!r}\ngot:      {!r}'.format(expected, got))
+        assert (got[0] == 'ok') == t['valid'], (
+            'official-suite verdict mismatch at ' + ctx)
+
+
+@pytest.mark.parametrize('draft,group', _params())
+def test_conformance_vector(reference, draft, group):
+    """Same corpus through the vectorized table path: the case schema
+    becomes a one-column sub-schema so every keyword runs its Arrow
+    kernel (or its documented scalar-fallback node)."""
+    wrapped = {'$schema': DRAFT_URI[draft],
+               'properties': {'col': copy.deepcopy(group['schema'])}}
+    if isinstance(group['schema'], dict) and 'definitions' in group['schema']:
+        # '#/definitions/...' pointers resolve against the wrapper root.
+        wrapped['definitions'] = copy.deepcopy(group['schema']['definitions'])
+    covered = 0
+    for t in group['tests']:
+        try:
+            col = pa.array([t['data']])
+        except Exception:
+            continue    # not Arrow-representable (heterogeneous list etc.)
+        assert_table_parity(reference, wrapped, pa.table({'col': col}),
+                            fast_fail=True)
+        covered += 1
+    if covered == 0:
+        pytest.skip('no test data representable as an Arrow column')
