@@ -24,9 +24,16 @@ import pyarrow as pa
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    import pyarrow.parquet as pq
     import ray.data
-    return ray.data.read_parquet(
-        '{}/{}.parquet'.format(sf_dir, table), columns=columns)
+    path = '{}/{}.parquet'.format(sf_dir, table)
+    # The testdata files carry b'pandas' schema metadata that makes
+    # pa.Schema unhashable in this pyarrow build, producing noisy
+    # "Failed to hash the schemas" warnings inside Ray's block-schema
+    # dedup; pass a metadata-stripped (projected) schema instead.
+    full = pq.read_schema(path).remove_metadata()
+    clean = pa.schema([full.field(c) for c in columns]) if columns else full
+    return ray.data.read_parquet(path, columns=columns, schema=clean)
 
 
 def _df_with_columns(ds, columns) -> pd.DataFrame:
@@ -562,10 +569,13 @@ def q_minhash_pairs_documents(sf_dir: str):
     from python_fastjsonschema_ray.stages.dedup import minhash_duplicate_pairs
     # The documents table is one small file → one block; split it so the
     # signature stage parallelizes (a real corpus has many files/fragments).
+    import pyarrow.parquet as pq
     n_blocks = max(8, int(ray.cluster_resources().get('CPU', 8)))
-    ds = ray.data.read_parquet('{}/documents.parquet'.format(sf_dir),
-                               columns=['doc_id', 'text'],
-                               override_num_blocks=n_blocks)
+    path = '{}/documents.parquet'.format(sf_dir)
+    full = pq.read_schema(path).remove_metadata()
+    clean = pa.schema([full.field(c) for c in ['doc_id', 'text']])
+    ds = ray.data.read_parquet(path, columns=['doc_id', 'text'],
+                               schema=clean, override_num_blocks=n_blocks)
     return minhash_duplicate_pairs(ds, 'doc_id', 'text', threshold=0.8)
 
 

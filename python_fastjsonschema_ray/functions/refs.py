@@ -2,7 +2,9 @@
 
 Covers the reference resolver's semantics (``fastjsonschema/ref_resolver.py``):
 ``$id``/``id`` scope handling, RFC 6901 fragment resolution, plain-name
-fragments, a walk-depth DoS cap, and pluggable ``handlers`` per URI scheme.
+fragments, a walk-depth DoS cap, and pluggable ``handlers`` per URI scheme —
+re-expressed as an iterative document indexer plus small resolve helpers
+(the reference uses a recursive walk with nested scope context managers).
 
 Deliberate divergence from the reference: there is **no implicit urllib
 fetch** — a remote URI with no registered handler raises
@@ -35,26 +37,26 @@ def _normalize(uri: str) -> str:
 
 def resolve_pointer(schema, fragment: str):
     """RFC 6901 JSON-pointer fragment resolution."""
-    fragment = fragment.lstrip('/')
-    parts = unquote(fragment).split('/') if fragment else []
-    for part in parts:
-        part = part.replace('~1', '/').replace('~0', '~')
+    for raw in unquote(fragment.lstrip('/')).split('/') if \
+            fragment.lstrip('/') else ():
+        token = raw.replace('~1', '/').replace('~0', '~')
         if isinstance(schema, list):
-            schema = schema[int(part)]
-        elif isinstance(schema, dict) and part in schema:
-            schema = schema[part]
+            schema = schema[int(token)]
+        elif isinstance(schema, dict) and token in schema:
+            schema = schema[token]
         else:
-            raise JsonSchemaDefinitionException('Unresolvable ref: {}'.format(part))
+            raise JsonSchemaDefinitionException(
+                'Unresolvable ref: {}'.format(token))
     return schema
 
 
 class SchemaRegistry:
     """URI → schema store with resolution scopes.
 
-    Construction walks the schema once, rewriting every ``$ref`` to an
-    absolute URI against the enclosing scope and registering every ``$id``
-    subschema (mirrors ``RefResolver.walk``, ``ref_resolver.py:181-204``).
-    """
+    Indexing a document rewrites every ``$ref`` in it to an absolute URI
+    against its enclosing ``$id`` scope and registers every ``$id``
+    subschema in the store; it runs once per document URI, iteratively
+    (explicit stack carrying per-node scope and depth)."""
 
     def __init__(self, base_uri: str, schema, store=None, handlers=None):
         self.base_uri = base_uri
@@ -62,86 +64,107 @@ class SchemaRegistry:
         self.schema = schema
         self.store = {} if store is None else store
         self.handlers = handlers or {}
-        self._walked = set()
-        self.walk(schema)
-        self._walked.add(_normalize(base_uri) if base_uri else '')
+        self._indexed = set()
+        self._index_document(base_uri, schema, start_scope=base_uri)
 
     @classmethod
     def from_schema(cls, schema, handlers=None, store=None):
         return cls(schema_id(schema), schema, store=store, handlers=handlers)
 
+    # -- scope bookkeeping -------------------------------------------------
+
     @contextlib.contextmanager
     def in_scope(self, scope: str):
-        old = self.scope
-        self.scope = urlparse.urljoin(old, scope)
+        previous = self.scope
+        self.scope = urlparse.urljoin(previous, scope)
         try:
             yield
         finally:
-            self.scope = old
-
-    @contextlib.contextmanager
-    def resolving(self, ref: str):
-        new_uri = urlparse.urljoin(self.scope, ref)
-        uri, fragment = urlparse.urldefrag(new_uri)
-        document_uri = uri or self.base_uri
-
-        if uri and _normalize(uri) in self.store:
-            schema = self.store[_normalize(uri)]
-        elif not uri or uri == self.base_uri:
-            schema = self.schema
-        else:
-            schema = self._fetch(uri)
-            self.store[_normalize(uri)] = schema
-
-        old_base, old_schema = self.base_uri, self.schema
-        self.base_uri, self.schema = document_uri, schema
-        try:
-            with self.in_scope(document_uri):
-                norm = _normalize(document_uri) if document_uri else ''
-                if norm not in self._walked:
-                    self.walk(schema)
-                    self._walked.add(norm)
-                if fragment and not fragment.startswith('/'):
-                    plain = _normalize(urlparse.urljoin(document_uri, '#' + fragment))
-                    if plain in self.store:
-                        yield self.store[plain]
-                        return
-                    raise JsonSchemaDefinitionException('Unresolvable ref: {}'.format(fragment))
-                yield resolve_pointer(schema, fragment)
-        finally:
-            self.base_uri, self.schema = old_base, old_schema
-
-    def _fetch(self, uri: str):
-        scheme = urlparse.urlsplit(uri).scheme
-        if scheme in self.handlers:
-            return self.handlers[scheme](uri)
-        raise JsonSchemaDefinitionException(
-            'Remote ref {} has no registered handler (network fetch is disabled '
-            'in this engine; pass handlers={{scheme: fetch_fn}})'.format(uri)
-        )
+            self.scope = previous
 
     def current_uri(self) -> str:
         return _normalize(self.scope)
 
-    def walk(self, node, depth: int = 0):
-        if depth >= MAX_SCHEMA_WALK_DEPTH:
-            raise JsonSchemaDefinitionException(
-                'Schema is too deeply nested (maximum depth is {})'.format(MAX_SCHEMA_WALK_DEPTH)
-            )
-        if isinstance(node, bool):
+    # -- document indexing -------------------------------------------------
+
+    def _index_document(self, doc_uri: str, document, start_scope=None):
+        key = _normalize(doc_uri) if doc_uri else ''
+        if key in self._indexed:
             return
-        if '$ref' in node and isinstance(node['$ref'], str):
-            node['$ref'] = urlparse.urljoin(self.scope, node['$ref'])
-        elif ('$id' in node or 'id' in node) and isinstance(schema_id(node), str):
-            with self.in_scope(schema_id(node)):
-                self.store[_normalize(self.scope)] = node
-                for item in node.values():
-                    if isinstance(item, dict):
-                        self.walk(item, depth + 1)
-        else:
-            for item in node.values():
-                if isinstance(item, dict):
-                    self.walk(item, depth + 1)
+        self._indexed.add(key)
+        pending = [(document, start_scope if start_scope is not None
+                    else self.scope, 0)]
+        while pending:
+            node, scope, depth = pending.pop()
+            if depth >= MAX_SCHEMA_WALK_DEPTH:
+                raise JsonSchemaDefinitionException(
+                    'Schema is too deeply nested (maximum depth is {})'
+                    .format(MAX_SCHEMA_WALK_DEPTH))
+            if not isinstance(node, dict):
+                continue
+            ref = node.get('$ref')
+            if isinstance(ref, str):
+                # Absolutize against the enclosing scope; $ref nodes are
+                # terminal (their siblings/children are not indexed).
+                node['$ref'] = urlparse.urljoin(scope, ref)
+                continue
+            if ('$id' in node or 'id' in node) \
+                    and isinstance(schema_id(node), str):
+                scope = urlparse.urljoin(scope, schema_id(node))
+                self.store[_normalize(scope)] = node
+            # Only dict-valued members are indexed (list members resolve
+            # lazily through ``resolving``), matching reference semantics.
+            # Children pushed reversed so pop() visits them depth-first in
+            # document order (duplicate-$id last-write-wins is preserved).
+            pending.extend(reversed([(child, scope, depth + 1)
+                                     for child in node.values()
+                                     if isinstance(child, dict)]))
+
+    # -- resolution --------------------------------------------------------
+
+    def _document_for(self, uri: str):
+        """The schema document a URI names: store hit, the current root,
+        or a handler fetch (cached)."""
+        if uri and _normalize(uri) in self.store:
+            return self.store[_normalize(uri)]
+        if not uri or uri == self.base_uri:
+            return self.schema
+        scheme = urlparse.urlsplit(uri).scheme
+        if scheme not in self.handlers:
+            raise JsonSchemaDefinitionException(
+                'Remote ref {} has no registered handler (network fetch is '
+                'disabled in this engine; pass handlers={{scheme: fetch_fn}})'
+                .format(uri))
+        fetched = self.handlers[scheme](uri)
+        self.store[_normalize(uri)] = fetched
+        return fetched
+
+    def _fragment_target(self, document, doc_uri: str, fragment: str):
+        if fragment and not fragment.startswith('/'):
+            # Plain-name fragment: must name a registered $id.
+            plain_key = _normalize(
+                urlparse.urljoin(doc_uri, '#' + fragment))
+            if plain_key in self.store:
+                return self.store[plain_key]
+            raise JsonSchemaDefinitionException(
+                'Unresolvable ref: {}'.format(fragment))
+        return resolve_pointer(document, fragment)
+
+    @contextlib.contextmanager
+    def resolving(self, ref: str):
+        uri, fragment = urlparse.urldefrag(urlparse.urljoin(self.scope, ref))
+        doc_uri = uri or self.base_uri
+        document = self._document_for(uri)
+        saved = (self.base_uri, self.schema)
+        self.base_uri, self.schema = doc_uri, document
+        try:
+            with self.in_scope(doc_uri):
+                self._index_document(doc_uri, document)
+                yield self._fragment_target(document, doc_uri, fragment)
+        finally:
+            self.base_uri, self.schema = saved
+
+    # -- reporting helper --------------------------------------------------
 
     def expand_refs(self, definition):
         """Expand one level of ``$ref`` inside a reported definition
@@ -150,7 +173,7 @@ class SchemaRegistry:
             return [self.expand_refs(v) for v in definition]
         if not isinstance(definition, dict):
             return definition
-        if '$ref' in definition and isinstance(definition['$ref'], str):
+        if isinstance(definition.get('$ref'), str):
             with self.resolving(definition['$ref']) as target:
                 return target
         return {k: self.expand_refs(v) for k, v in definition.items()}
