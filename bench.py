@@ -20,6 +20,47 @@ import time
 SF_DIR = os.environ.get('GRAFT_SF_DIR', '/root/testdata/sf0.1')
 NUM_CPUS = int(os.environ.get('RAY_GRAFT_CPUS', '32'))
 FLAGSHIP_ROWS = int(os.environ.get('GRAFT_FLAGSHIP_ROWS', '60000'))
+BASELINE_PATH = os.environ.get(
+    'GRAFT_BENCH_BASELINE',
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 'bench_baseline.json'))
+# Wall-clock on a shared box is noisy; the reference gates at min:5%
+# (Makefile:37-45) on per-op micro timings — whole-pipeline seconds need a
+# wider band.
+TOLERANCE = float(os.environ.get('GRAFT_BENCH_TOLERANCE', '1.3'))
+
+
+def run_compare(save: bool):
+    """Regression gate (reference analog: pytest-benchmark
+    --benchmark-compare-fail, Makefile:37-45): run the bench in a fresh
+    process, then compare per-query seconds against the saved baseline
+    run; exit 1 if total or any query regressed past TOLERANCE."""
+    out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                         env=dict(os.environ), capture_output=True,
+                         text=True, check=True).stdout
+    result = json.loads(out.strip().splitlines()[-1])
+    if save or not os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH, 'w') as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+        print(json.dumps({'saved': BASELINE_PATH,
+                          'value': result['value']}))
+        return 0
+    with open(BASELINE_PATH) as f:
+        base = json.load(f)
+    regressions = []
+    for name, sec in result['queries'].items():
+        ref = base.get('queries', {}).get(name)
+        if ref and sec > ref * TOLERANCE:
+            regressions.append({'query': name, 'sec': sec, 'baseline': ref,
+                                'ratio': round(sec / ref, 2)})
+    total_ratio = round(result['value'] / max(base['value'], 1e-9), 3)
+    print(json.dumps({
+        'value': result['value'], 'baseline_value': base['value'],
+        'total_ratio': total_ratio, 'tolerance': TOLERANCE,
+        'regressions': regressions,
+        'ok': not regressions and total_ratio <= TOLERANCE,
+    }))
+    return 1 if (regressions or total_ratio > TOLERANCE) else 0
 
 
 def run_scaling():
@@ -139,5 +180,7 @@ def main():
 if __name__ == '__main__':
     if '--scaling' in sys.argv:
         run_scaling()
+    elif '--compare' in sys.argv or '--save' in sys.argv:
+        sys.exit(run_compare(save='--save' in sys.argv))
     else:
         main()

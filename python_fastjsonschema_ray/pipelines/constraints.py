@@ -488,22 +488,31 @@ class _GroupHistogramStage:
         self.edges = np.asarray(edges, dtype=np.float64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        groups = batch.column(self.group_column).to_pylist()
+        # One vectorized 2D bincount: bin index within the batch + group
+        # code -> flat (group, bin) counts; no per-row Python.
+        garr = batch.column(self.group_column).combine_chunks()
+        codes_arr = garr.dictionary_encode()
+        labels = ['' if v is None else str(v)
+                  for v in codes_arr.dictionary.to_pylist()]
+        codes = np.asarray(codes_arr.indices.fill_null(-1)).astype(np.int64)
+        if (codes < 0).any():
+            if '' not in labels:
+                labels.append('')
+            codes = np.where(codes < 0, labels.index(''), codes)
         vals = np.asarray(
             pc.cast(batch.column(self.column).combine_chunks(),
                     pa.float64(), safe=False).fill_null(np.nan))
-        out_g, out_c = [], []
-        import collections
-        by_group = collections.defaultdict(list)
-        for g, v in zip(groups, vals):
-            by_group[g].append(v)
-        for g, members in by_group.items():
-            counts, _ = np.histogram(
-                np.asarray(members)[~np.isnan(members)], bins=self.edges)
-            out_g.append('' if g is None else str(g))
-            out_c.append(pickle.dumps(counts))
-        return pa.table({'group': pa.array(out_g, type=pa.string()),
-                         'counts': pa.array(out_c, type=pa.binary())})
+        nbins = len(self.edges) - 1
+        ok = ~np.isnan(vals)
+        ok &= (vals >= self.edges[0]) & (vals <= self.edges[-1])
+        bins = np.clip(np.searchsorted(self.edges, vals[ok], side='right')
+                       - 1, 0, nbins - 1)
+        flat = np.bincount(codes[ok] * nbins + bins,
+                           minlength=len(labels) * nbins)             .reshape(len(labels), nbins)
+        return pa.table({
+            'group': pa.array(labels, type=pa.string()),
+            'counts': pa.array([pickle.dumps(row) for row in flat],
+                               type=pa.binary())})
 
 
 def drift_by_group(ds, column, group_column, edges, *, psi_threshold=0.2,

@@ -100,21 +100,28 @@ class ValidateAndDecodeStage:
         srcs = ['schema'] * len(keys)
 
         res = self.decoder(batch)
-        ids = res.column('image_id').to_pylist()
-        for i, r in enumerate(res.to_pylist()):
-            if not r['decode_ok']:
-                keys.append(ids[i])
-                rules.append('decode')
-                msgs.append('data.bytes failed to decode: {}'.format(r['error']))
-            elif not r['dims_match']:
-                keys.append(ids[i])
-                rules.append('dims')
-                msgs.append('data.w/data.h declared dims do not match '
-                            'decoded payload')
-            elif not r['phash_match']:
-                keys.append(ids[i])
-                rules.append('phash')
-                msgs.append('data.phash does not match decoded content hash')
+        ids = np.asarray(res.column('image_id').to_pylist(), dtype=object)
+        dec_ok = np.asarray(res.column('decode_ok')).astype(bool)
+        dims_ok = np.asarray(res.column('dims_match')).astype(bool)
+        ph_ok = np.asarray(res.column('phash_match')).astype(bool)
+        bad_decode = np.nonzero(~dec_ok)[0]
+        bad_dims = np.nonzero(dec_ok & ~dims_ok)[0]
+        bad_phash = np.nonzero(dec_ok & dims_ok & ~ph_ok)[0]
+        if len(bad_decode):
+            errs = res.column('error').take(
+                pa.array(bad_decode, type=pa.int64())).to_pylist()
+            keys.extend(ids[bad_decode])
+            rules.extend(['decode'] * len(bad_decode))
+            msgs.extend('data.bytes failed to decode: {}'.format(e)
+                        for e in errs)
+        keys.extend(ids[bad_dims])
+        rules.extend(['dims'] * len(bad_dims))
+        msgs.extend(['data.w/data.h declared dims do not match '
+                     'decoded payload'] * len(bad_dims))
+        keys.extend(ids[bad_phash])
+        rules.extend(['phash'] * len(bad_phash))
+        msgs.extend(['data.phash does not match decoded content hash']
+                    * len(bad_phash))
         srcs += ['content'] * (len(keys) - len(srcs))
         return pa.table({
             'key': pa.array(keys, type=pa.string()),

@@ -366,9 +366,15 @@ def validate_dataset(ds, definition, *, mode='annotate', key_column=None,
     specialization."""
     import ray.data  # noqa: F401  (ds is already a Dataset)
 
-    arrow_schema = pa.schema(
-        [pa.field(n, t) for n, t in
-         zip(ds.schema().names, ds.schema().types)])
+    names, types = ds.schema().names, ds.schema().types
+    if all(isinstance(t, pa.DataType) for t in types):
+        arrow_schema = pa.schema(
+            [pa.field(n, t) for n, t in zip(names, types)])
+    else:
+        # Pandas-backed datasets report numpy dtypes / Python types; pull
+        # one Arrow batch to get a real schema for compile-time
+        # specialization.
+        arrow_schema = ds.take_batch(1, batch_format='pyarrow').schema
     kwargs = {}
     # A callable class needs an actor pool; size it explicitly (Ray requires
     # concurrency for class-based map_batches). Default to half the cluster
