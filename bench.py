@@ -72,7 +72,10 @@ def run_scaling():
     # memory bandwidth near 32 procs, which a multi-node cluster would not
     # (each node brings its own bandwidth) — see BASELINE.md, which reports
     # the 8-vs-32 pairing too. Override with GRAFT_SCALING_LO/HI.
-    rows = int(os.environ.get('GRAFT_SCALING_ROWS', '480000'))
+    # Sized so the hi-cpu side runs >=10 s of real compute: at ~2.6 s the
+    # fresh-process worker spin-up (~1 s) dominates and run-to-run
+    # efficiency swings between 0.76 and 0.94.
+    rows = int(os.environ.get('GRAFT_SCALING_ROWS', '2400000'))
     n_lo = int(os.environ.get('GRAFT_SCALING_LO', '4'))
     n_hi = int(os.environ.get('GRAFT_SCALING_HI', '16'))
 
