@@ -538,7 +538,120 @@ def q_boolschema_events(sf_dir: str):
     return _violations(ds, spec, 'event_id')
 
 
+def q_sliding_events(sf_dir: str):
+    """Sliding windows (1h window, 30min slide): each event lands in
+    window/slide overlapping buckets via vectorized expansion + partial agg."""
+    from python_fastjsonschema_ray.stages.windows import sliding_window_agg
+    ds = _read(sf_dir, 'events', ['ts', 'event_type', 'value'])
+    out = sliding_window_agg(ds, 'ts', 'event_type', 'value', 3600, 1800)
+
+    def round_sum(batch: pd.DataFrame) -> pd.DataFrame:
+        batch['sum_value'] = batch['sum_value'].round(2)
+        return batch
+
+    return out.map_batches(round_sum, batch_format='pandas')
+
+
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF probe with nprobe == nlist (all clusters): must equal the exact
+    brute-force top-k, making the IVF path DuckDB-checkable."""
+    from python_fastjsonschema_ray.stages.ann import build_ivf, topk_cosine_ivf
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    tagged, centroids = build_ivf(ds, 'embedding', nlist=8)
+    df = topk_cosine_ivf(tagged, centroids, 'vec_id', 'embedding',
+                         np.asarray(_ANN_QUERY), k=10, nprobe=8)
+    return pd.DataFrame({
+        'vec_id': df['vec_id'].astype('int64'),
+        'sim': df['sim'].round(4),
+    })
+
+
+def q_referential_bloom_orders(sf_dir: str):
+    """Bloom-filter referential variant (broadcastable at 10^9 keys):
+    no false violations, so on clean data it must match the exact check."""
+    from python_fastjsonschema_ray.pipelines.constraints import (
+        check_referential_bloom)
+    orders = _read(sf_dir, 'orders', ['o_orderkey', 'o_custkey'])
+    customer = _read(sf_dir, 'customer', ['c_custkey'])
+    out, _fpr = check_referential_bloom(orders, 'o_custkey',
+                                        customer, 'c_custkey')
+    return _df_with_columns(out, ['o_orderkey', 'o_custkey'])
+
+
+def q_referential_large_orders(sf_dir: str):
+    """Both-sides-large co-group anti join (one bucketed shuffle)."""
+    from python_fastjsonschema_ray.pipelines.constraints import (
+        check_referential_large)
+    orders = _read(sf_dir, 'orders', ['o_orderkey', 'o_custkey'])
+    customer = _read(sf_dir, 'customer', ['c_custkey'])
+    out = check_referential_large(orders, 'o_custkey', customer, 'c_custkey')
+    return _df_with_columns(out, ['o_orderkey', 'o_custkey'])
+
+
+def q_salted_group_events(sf_dir: str):
+    """Skew-safe salted grouped sum (salt spread + fold-back groupby)."""
+    from python_fastjsonschema_ray.pipelines.constraints import (
+        salted_group_agg)
+    ds = _read(sf_dir, 'events', ['event_type', 'value'])
+    out = salted_group_agg(ds, ['event_type'], 'value')
+
+    def round_sum(batch: pd.DataFrame) -> pd.DataFrame:
+        batch['sum_value'] = batch['sum_value'].round(2)
+        return batch
+
+    return out.map_batches(round_sum, batch_format='pandas')
+
+
+def q_violation_examples_lineitem(sf_dir: str):
+    """top_violation_examples triage view: first-k per rule; the driver
+    checks the deterministic part (per-rule example COUNT, capped at k)."""
+    from ray.data.aggregate import Count
+    from python_fastjsonschema_ray.pipelines.validate import (
+        top_violation_examples, validate_dataset)
+    ds = _read(sf_dir, 'lineitem', ['l_orderkey', 'l_quantity', 'l_discount'])
+    spec = {'properties': {
+        'l_quantity': {'type': 'number', 'maximum': 45},
+        'l_discount': {'type': 'number', 'maximum': 0.08},
+    }}
+    violations = validate_dataset(ds, spec, mode='violations',
+                                  key_column='l_orderkey', fast_fail=False)
+    examples = top_violation_examples(violations, k=5)
+    return examples.groupby('rule').aggregate(Count(alias_name='n_examples'))
+
+
+def q_histogram_lineitem(sf_dir: str):
+    """Fixed-edge mergeable histogram (the drift profile primitive)."""
+    from python_fastjsonschema_ray.pipelines.constraints import (
+        histogram_profile)
+    ds = _read(sf_dir, 'lineitem', ['l_quantity'])
+    counts = histogram_profile(ds, 'l_quantity', np.linspace(0, 55, 23))
+    df = pd.DataFrame({'bin': np.arange(22, dtype=np.int64),
+                       'n': counts.astype(np.int64)})
+    return df[df['n'] > 0]   # SQL GROUP BY emits only non-empty bins
+
+
+def q_drift_groups_lineitem(sf_dir: str):
+    """Per-group drift over l_returnflag: SQL checks the per-group row
+    conservation; PSI/KS values are covered by component tests."""
+    from python_fastjsonschema_ray.pipelines.constraints import drift_by_group
+    ds = _read(sf_dir, 'lineitem', ['l_quantity', 'l_returnflag'])
+    reports = drift_by_group(ds, 'l_quantity', 'l_returnflag',
+                             np.linspace(0, 55, 23))
+    return pd.DataFrame({'grp': [r['group'] for r in reports],
+                         'n': [r['n'] for r in reports]})
+
+
 # -- non-SQL-expressible operators (rows-only driver check) -----------------
+
+
+def q_dedup_minhash_documents(sf_dir: str):
+    """End-to-end near-dup removal (losers dropped via object-store
+    broadcast of loser ids); rows-only — the kept-set depends on LSH
+    banding recall at the threshold."""
+    from python_fastjsonschema_ray.stages.dedup import dedup_minhash
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    kept = dedup_minhash(ds, 'doc_id', 'text', threshold=0.8)
+    return kept.select_columns(['doc_id'])
 
 
 def q_langid_documents(sf_dir: str):
@@ -580,10 +693,15 @@ def q_minhash_pairs_documents(sf_dir: str):
 
 
 def q_embedding_near_dup(sf_dir: str):
+    """Hyperplane-LSH embedding near-dup at cosine >= 0.999; exact in-
+    bucket verification means no false pairs, and at this threshold the
+    LSH bucket miss probability is negligible, so the DuckDB all-pairs
+    cosine self-join is a valid oracle."""
     from python_fastjsonschema_ray.stages.dedup import embedding_duplicate_pairs
     ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
-    return embedding_duplicate_pairs(ds, 'vec_id', 'embedding', dim=64,
-                                     threshold=0.999)
+    out = embedding_duplicate_pairs(ds, 'vec_id', 'embedding', dim=64,
+                                    threshold=0.999)
+    return _df_with_columns(out, ['id_a', 'id_b'])
 
 
 def q_drift_lineitem(sf_dir: str):
@@ -681,12 +799,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'addprops_events': q_addprops_events,
         'patternprops_events': q_patternprops_events,
         'boolschema_events': q_boolschema_events,
+        # engine-category evidence (SURVEY §2.5 + north-rule additions):
+        'sliding_events': q_sliding_events,
+        'ann_ivf_topk': q_ann_ivf_topk,
+        'referential_bloom_orders': q_referential_bloom_orders,
+        'referential_large_orders': q_referential_large_orders,
+        'salted_group_events': q_salted_group_events,
+        'violation_examples_lineitem': q_violation_examples_lineitem,
+        'histogram_lineitem': q_histogram_lineitem,
+        'drift_groups_lineitem': q_drift_groups_lineitem,
+        'embedding_near_dup': q_embedding_near_dup,
         # rows-only (no SQL equivalent):
         'langid_documents': q_langid_documents,
         'fingerprint_documents': q_fingerprint_documents,
         'simhash_documents': q_simhash_documents,
         'minhash_pairs_documents': q_minhash_pairs_documents,
-        'embedding_near_dup': q_embedding_near_dup,
+        'dedup_minhash_documents': q_dedup_minhash_documents,
         'drift_lineitem': q_drift_lineitem,
         'image_flagship': q_image_flagship,
     }
@@ -904,6 +1032,65 @@ def oracle_sql() -> dict[str, str]:
         """,
         'boolschema_events': """
             SELECT CAST(event_id AS VARCHAR) AS key FROM events
+        """,
+        'sliding_events': """
+            WITH phases AS (SELECT 0 AS r UNION ALL SELECT 1),
+            expanded AS (
+                SELECT event_type,
+                       CAST(floor((epoch_us(ts) - r * 1800000000)
+                                  / 3600000000.0) AS BIGINT) * 3600000000
+                           + r * 1800000000 AS window_start,
+                       value
+                FROM events, phases
+            )
+            SELECT event_type, window_start, count(*) AS n,
+                   ROUND(sum(value), 2) AS sum_value
+            FROM expanded GROUP BY 1, 2
+        """,
+        'ann_ivf_topk': """
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(embedding, {q}), 4) AS sim
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding, {q}) DESC, vec_id
+            LIMIT 10
+        """.format(q=ann_query),
+        'referential_bloom_orders': """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        """,
+        'referential_large_orders': """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IS NOT NULL
+              AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+        """,
+        'salted_group_events': """
+            SELECT event_type, ROUND(sum(value), 2) AS sum_value,
+                   count(value) AS n
+            FROM events GROUP BY event_type
+        """,
+        'violation_examples_lineitem': """
+            SELECT rule, LEAST(cnt, 5) AS n_examples FROM (
+                SELECT 'maximum' AS rule, count(*) AS cnt
+                FROM lineitem WHERE l_quantity > 45 OR l_discount > 0.08
+            ) WHERE cnt > 0
+        """,
+        'histogram_lineitem': """
+            SELECT CAST(LEAST(floor(l_quantity / 2.5), 21) AS BIGINT)
+                       AS bin,
+                   count(*) AS n
+            FROM lineitem
+            WHERE l_quantity >= 0 AND l_quantity <= 55
+            GROUP BY 1
+        """,
+        'drift_groups_lineitem': """
+            SELECT l_returnflag AS grp, count(l_quantity) AS n
+            FROM lineitem GROUP BY 1
+        """,
+        'embedding_near_dup': """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
         """,
         'sessions_events': """
             WITH deltas AS (
