@@ -644,6 +644,19 @@ def q_drift_groups_lineitem(sf_dir: str):
 # -- non-SQL-expressible operators (rows-only driver check) -----------------
 
 
+def q_hamming_near_dup_documents(sf_dir: str):
+    """SimHash signatures → 64-bit hamming near-dup pairs (pigeonhole
+    banding, guaranteed recall at max_dist < bands); the SURVEY §2.5
+    "phash hamming buckets" operator. Rows-only (simhash is not
+    SQL-expressible); exactness is pinned by the brute-force test."""
+    from python_fastjsonschema_ray.stages.dedup import (
+        SimHashStage, hamming_near_dup)
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    sigs = ds.map_batches(SimHashStage('doc_id', 'text'),
+                          batch_format='pandas')
+    return hamming_near_dup(sigs, 'doc_id', 'simhash', max_dist=3)
+
+
 def q_dedup_minhash_documents(sf_dir: str):
     """End-to-end near-dup removal (losers dropped via object-store
     broadcast of loser ids); rows-only — the kept-set depends on LSH
@@ -815,6 +828,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'simhash_documents': q_simhash_documents,
         'minhash_pairs_documents': q_minhash_pairs_documents,
         'dedup_minhash_documents': q_dedup_minhash_documents,
+        'hamming_near_dup_documents': q_hamming_near_dup_documents,
         'drift_lineitem': q_drift_lineitem,
         'image_flagship': q_image_flagship,
     }

@@ -221,3 +221,45 @@ def test_ivf_partitioned_write_and_selective_read(embeddings, tmp_path):
     sel = topk_cosine_ivf_partitioned(path, centroids, 'vec_id',
                                       'embedding', q, k=10, nprobe=4)
     assert scan['vec_id'].tolist() == sel['vec_id'].tolist()
+
+
+def test_popcount64_matches_python():
+    from python_fastjsonschema_ray.stages.dedup import _popcount64
+    rng = np.random.default_rng(0)
+    xs = rng.integers(0, 1 << 63, 1000, dtype=np.uint64)
+    xs[:4] = [0, 1, (1 << 64) - 1, 1 << 63]
+    got = _popcount64(xs)
+    ref = np.array([bin(int(x)).count('1') for x in xs])
+    assert np.array_equal(got, ref)
+
+
+def test_hamming_near_dup_exact_and_recall(ray_session):
+    """Pigeonhole guarantee: every pair within max_dist is found when
+    bands > max_dist; no pair beyond max_dist is reported."""
+    import itertools
+    import pyarrow as pa
+    import ray.data
+    from python_fastjsonschema_ray.stages.dedup import hamming_near_dup
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 1 << 63, 40, dtype=np.int64)
+    rows = list(base)
+    # Plant near-dups at distances 1..4 off base[0..3].
+    for i, d in enumerate((1, 2, 3, 4)):
+        v = int(base[i])
+        for bit in rng.choice(64, d, replace=False):
+            v ^= 1 << int(bit)
+        rows.append(np.int64(np.uint64(v & ((1 << 64) - 1)).astype(np.int64)))
+    ids = list(range(len(rows)))
+    ds = ray.data.from_arrow(pa.table({
+        'id': pa.array(ids, type=pa.int64()),
+        'h': pa.array(rows, type=pa.int64())}))
+    got = {(p['id_a'], p['id_b']): p['dist']
+           for p in hamming_near_dup(ds, 'id', 'h', max_dist=3).take_all()}
+    # Brute-force truth.
+    truth = {}
+    for i, j in itertools.combinations(range(len(rows)), 2):
+        d = bin((int(rows[i]) ^ int(rows[j])) & ((1 << 64) - 1)).count('1')
+        if d <= 3:
+            truth[(ids[i], ids[j])] = d
+    assert got == truth, (got, truth)
+    assert len(truth) >= 3          # the planted d<=3 pairs exist
