@@ -43,58 +43,163 @@ class DecodeCheckStage:
     """Decode each image, verify declared (w, h) and phash against the
     decoded pixels, and compute the lossy-PSNR invariant.
 
-    Stateless per row but held in an actor pool so per-worker setup (none
-    today; a real decoder would load codecs here) happens once."""
+    Batch-vectorized: headers parse per row (a few string ops), but the
+    pixel work — the 8x8 phash gather — is ONE fancy-indexing read over
+    the batch's shared Arrow binary buffer (zero-copy), one channel-sum
+    and one packbits for the whole batch.  Two exact identities make this
+    possible: (a) phash bits are invariant under the lossy codec's affine
+    decode p = 4q+2 (block > mean is order-preserving), so the hash is
+    computed directly on the stored bytes; (b) re-quantizing a decoded
+    lossy image reproduces it exactly, so the PSNR-vs-requantized check is
+    +inf for every successfully decoded lossy row (the <40 dB violations
+    the north rule cares about surface as decode/dims/phash failures).
+    Rows whose header the fast path can't parse fall back to the per-row
+    reference decode so error strings stay byte-identical."""
 
     def __init__(self, lossy_psnr_floor: float = 40.0):
         self.lossy_psnr_floor = lossy_psnr_floor
 
+    def _fallback_row(self, blob, fmt, w, h):
+        """(ok, error, pixels) via the reference scalar decode path."""
+        try:
+            return True, None, decode_image(blob, fmt, w, h)
+        except Exception as exc:
+            return False, str(exc), None
+
     def __call__(self, batch: pa.Table) -> pa.Table:
+        arr = batch.column('bytes').combine_chunks()
+        n = len(arr)
+        if n == 0:
+            return pa.table({name: pa.array([], type=t)
+                             for name, t in DECODE_RESULT_FIELDS})
+        off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+            arr.offset:arr.offset + n + 1].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        null_mask = None
+        if arr.null_count:
+            null_mask = ~np.asarray(arr.is_valid())
         ids = batch.column('image_id').to_pylist()
-        blobs = batch.column('bytes').to_pylist()
         ws = batch.column('w').to_pylist()
         hs = batch.column('h').to_pylist()
         fmts = batch.column('fmt').to_pylist()
         phashes = batch.column('phash').to_pylist()
-        out = {name: [] for name, _ in DECODE_RESULT_FIELDS}
-        for i in range(batch.num_rows):
-            error = None
-            pixels = None
+
+        ok = np.zeros(n, dtype=bool)
+        errs = [None] * n
+        dw = np.zeros(n, dtype=np.int64)
+        dh = np.zeros(n, dtype=np.int64)
+        body = np.zeros(n, dtype=np.int64)
+        slow = []                       # rows needing the reference decode
+        for i in range(n):
+            o0, o1 = off[i], off[i + 1]
+            f = fmts[i]
             try:
-                pixels = decode_image(blobs[i], fmts[i], ws[i], hs[i])
-            except Exception as exc:
-                error = str(exc)
-            out['image_id'].append(ids[i])
-            out['decode_ok'].append(pixels is not None)
-            if pixels is None:
-                out['decoded_w'].append(None)
-                out['decoded_h'].append(None)
-                out['dims_match'].append(False)
-                out['phash_match'].append(False)
-                out['computed_phash'].append(None)
-                out['psnr_db'].append(None)
-                out['error'].append(error)
-                continue
-            dh, dw = pixels.shape[:2]
-            out['decoded_w'].append(dw)
-            out['decoded_h'].append(dh)
-            out['dims_match'].append(dw == ws[i] and dh == hs[i])
-            ph = average_phash(pixels)
-            out['computed_phash'].append(ph)
-            out['phash_match'].append(ph == phashes[i])
-            # For the quantized 'lossy' codec the PSNR invariant is checked
-            # against the dequantized reconstruction (≥ 40 dB by design);
-            # lossless codecs are exact (inf dB, reported as null).
+                if null_mask is not None and null_mask[i]:
+                    raise _FastParseMiss
+                if f == 'raw':
+                    if ws[i] is None or hs[i] is None:
+                        errs[i] = 'raw needs dimensions'
+                        continue
+                    if o1 - o0 != ws[i] * hs[i] * 3:
+                        errs[i] = 'raw payload size mismatch'
+                        continue
+                    dw[i], dh[i], body[i] = ws[i], hs[i], o0
+                elif f == 'ppm' or f == 'lossy':
+                    head = data[o0:min(o0 + 32, o1)].tobytes()
+                    magic = b'P6 ' if f == 'ppm' else b'L6 '
+                    if not head.startswith(magic):
+                        errs[i] = 'bad {} magic'.format(f)
+                        continue
+                    nl = head.index(b'\n')          # miss → fallback
+                    parts = head[3:nl].split()
+                    w_, h_ = int(parts[0]), int(parts[1])
+                    bstart = o0 + nl + 1
+                    if o1 - bstart != w_ * h_ * 3:
+                        errs[i] = '{} payload size mismatch'.format(f)
+                        continue
+                    dw[i], dh[i], body[i] = w_, h_, bstart
+                else:
+                    raise _FastParseMiss
+                ok[i] = True
+            except Exception:
+                slow.append(i)
+
+        # Reference fallback for anomalous rows (nulls, unknown fmt,
+        # headers past 32 bytes, unparseable ints) — exact error strings.
+        slow_pixels = {}
+        for i in slow:
+            blob = arr[i].as_py()
+            row_ok, err, pixels = self._fallback_row(blob, fmts[i],
+                                                     ws[i], hs[i])
+            ok[i] = row_ok
+            errs[i] = err
+            if row_ok:
+                slow_pixels[i] = pixels
+                dh[i], dw[i] = pixels.shape[:2]
+
+        # Vectorized 8x8 phash over every fast-path-decoded image: one
+        # gather from the shared buffer, one channel sum, one packbits.
+        computed = np.zeros(n, dtype=np.int64)
+        fast_ok = ok.copy()
+        for i in slow_pixels:
+            fast_ok[i] = False
+        vi = np.nonzero(fast_ok)[0]
+        if len(vi):
+            wv, hv, bs = dw[vi], dh[vi], body[vi]
+            k = np.arange(8, dtype=np.int64)
+            ys = np.minimum((hv[:, None] * k) // 8, hv[:, None] - 1)
+            xs = np.minimum((wv[:, None] * k) // 8, wv[:, None] - 1)
+            pos = (bs[:, None, None]
+                   + (ys[:, :, None] * wv[:, None, None]
+                      + xs[:, None, :]) * 3)
+            rgb = data[pos[..., None] + np.arange(3, dtype=np.int64)]
+            gray = rgb.sum(axis=3, dtype=np.int32).reshape(len(vi), 64)
+            bits = gray > gray.mean(axis=1)[:, None]
+            packed = np.packbits(bits, axis=1)
+            computed[vi] = packed.view(np.dtype('>u8')).reshape(-1) \
+                .astype(np.uint64).view(np.int64)
+        for i, pixels in slow_pixels.items():
+            computed[i] = average_phash(pixels)
+
+        dims_match = np.zeros(n, dtype=bool)
+        phash_match = np.zeros(n, dtype=bool)
+        psnr_db = [None] * n
+        for i in np.nonzero(ok)[0]:
+            dims_match[i] = (ws[i] is not None and hs[i] is not None
+                             and dw[i] == ws[i] and dh[i] == hs[i])
+            phash_match[i] = (phashes[i] is not None
+                              and int(computed[i]) == phashes[i])
             if fmts[i] == 'lossy':
-                q = (pixels.astype(np.int16) - 2) >> 2
-                rq = ((q.astype(np.uint16) << 2) + 2).clip(0, 255).astype(np.uint8)
-                out['psnr_db'].append(psnr(pixels, rq))
-            else:
-                out['psnr_db'].append(None)
-            out['error'].append(None)
-        return pa.table(
-            {name: pa.array(out[name], type=t)
-             for name, t in DECODE_RESULT_FIELDS})
+                if i in slow_pixels:
+                    p = slow_pixels[i]
+                    q = (p.astype(np.int16) - 2) >> 2
+                    rq = ((q.astype(np.uint16) << 2) + 2) \
+                        .clip(0, 255).astype(np.uint8)
+                    psnr_db[i] = psnr(p, rq)
+                else:
+                    psnr_db[i] = float('inf')   # identity: requantize(4q+2)=q
+
+        return pa.table({
+            'image_id': pa.array(ids, type=pa.string()),
+            'decode_ok': pa.array(ok, type=pa.bool_()),
+            'decoded_w': pa.array(
+                [int(dw[i]) if ok[i] else None for i in range(n)],
+                type=pa.int32()),
+            'decoded_h': pa.array(
+                [int(dh[i]) if ok[i] else None for i in range(n)],
+                type=pa.int32()),
+            'dims_match': pa.array(dims_match, type=pa.bool_()),
+            'phash_match': pa.array(phash_match, type=pa.bool_()),
+            'computed_phash': pa.array(
+                [int(computed[i]) if ok[i] else None for i in range(n)],
+                type=pa.int64()),
+            'psnr_db': pa.array(psnr_db, type=pa.float64()),
+            'error': pa.array(errs, type=pa.string()),
+        })
+
+
+class _FastParseMiss(Exception):
+    pass
 
 
 class ExternalImageDecodeStage:
