@@ -50,7 +50,9 @@ def run_compare(save: bool):
     regressions = []
     for name, sec in result['queries'].items():
         ref = base.get('queries', {}).get(name)
-        if ref and sec > ref * TOLERANCE:
+        # Ratio gate + 1.5s absolute slack: second-scale queries jitter
+        # ±1s run to run, which is scheduler noise, not a regression.
+        if ref and sec > ref * TOLERANCE and sec > ref + 1.5:
             regressions.append({'query': name, 'sec': sec, 'baseline': ref,
                                 'ratio': round(sec / ref, 2)})
     total_ratio = round(result['value'] / max(base['value'], 1e-9), 3)
