@@ -188,6 +188,12 @@ class TableValidator:
                                     'data.{} must be encoded by base64'.format(col))
                                 bad_vals.append(v)
                             if values[i] == "":
+                                # Dead branch BY DESIGN: values[i] is bytes
+                                # after decode, so bytes == str is always
+                                # False — mirroring the reference's own
+                                # generated `if {variable} == "":` check
+                                # (draft07.py:111-112), which has the same
+                                # type mismatch.
                                 bad_rows.append(i)
                                 bad_msgs.append('contentEncoding must be base64')
                                 bad_vals.append(values[i])
