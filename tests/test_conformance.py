@@ -30,6 +30,7 @@ DRAFT_URI = {
     4: 'http://json-schema.org/draft-04/schema',
     6: 'http://json-schema.org/draft-06/schema',
     7: 'http://json-schema.org/draft-07/schema',
+    2019: None,      # bare schema → the default (2019) dialect
 }
 
 
@@ -41,7 +42,7 @@ def _load(draft):
 
 def _params():
     out = []
-    for draft in (4, 6, 7):
+    for draft in (4, 6, 7, 2019):
         for group in _load(draft):
             out.append(pytest.param(
                 draft, group,
@@ -51,7 +52,7 @@ def _params():
 
 def _with_draft(schema, draft):
     schema = copy.deepcopy(schema)
-    if isinstance(schema, dict):
+    if isinstance(schema, dict) and DRAFT_URI[draft] is not None:
         schema.setdefault('$schema', DRAFT_URI[draft])
     return schema
 
@@ -93,8 +94,9 @@ def test_conformance_vector(reference, draft, group):
     """Same corpus through the vectorized table path: the case schema
     becomes a one-column sub-schema so every keyword runs its Arrow
     kernel (or its documented scalar-fallback node)."""
-    wrapped = {'$schema': DRAFT_URI[draft],
-               'properties': {'col': copy.deepcopy(group['schema'])}}
+    wrapped = {'properties': {'col': copy.deepcopy(group['schema'])}}
+    if DRAFT_URI[draft] is not None:
+        wrapped['$schema'] = DRAFT_URI[draft]
     if isinstance(group['schema'], dict) and 'definitions' in group['schema']:
         # '#/definitions/...' pointers resolve against the wrapper root.
         wrapped['definitions'] = copy.deepcopy(group['schema']['definitions'])
