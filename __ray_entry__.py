@@ -641,6 +641,36 @@ def q_drift_groups_lineitem(sf_dir: str):
                          'n': [r['n'] for r in reports]})
 
 
+def q_plugin_even_lineitem(sf_dir: str):
+    """Custom-keyword plugin surface (SURVEY §2.5 user extensions): a
+    brand-new 'isEvenQty' keyword registered IN THE WORKER (plugin
+    registries are per-process; compile happens where the batch runs),
+    evaluated by the engine's derived per-row kernel."""
+    ds = _read(sf_dir, 'lineitem', ['l_orderkey', 'l_quantity'])
+    spec = {'properties': {'l_quantity': {'type': 'number',
+                                          'isEvenQty': True}}}
+
+    def run(batch: pa.Table) -> pa.Table:
+        from python_fastjsonschema_ray.functions import plugins
+        from python_fastjsonschema_ray.pipelines.validate import ValidatorStage
+        cache = plugins.__dict__.setdefault('_entry_stage_cache', {})
+        stage = cache.get('evenq')
+        if stage is None:
+            if 'isEvenQty' not in plugins.REGISTRY:
+                plugins.register_keyword(
+                    'isEvenQty',
+                    check_value=lambda v, d: (
+                        ' must be even'
+                        if isinstance(v, (int, float)) and v % 2 else None))
+            stage = cache['evenq'] = ValidatorStage(
+                spec, batch.schema, mode='violations',
+                key_column='l_orderkey')
+        return stage(batch)
+
+    return ds.map_batches(run, batch_format='pyarrow') \
+        .select_columns(['key'])
+
+
 # -- non-SQL-expressible operators (rows-only driver check) -----------------
 
 
@@ -822,6 +852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'histogram_lineitem': q_histogram_lineitem,
         'drift_groups_lineitem': q_drift_groups_lineitem,
         'embedding_near_dup': q_embedding_near_dup,
+        'plugin_even_lineitem': q_plugin_even_lineitem,
         # rows-only (no SQL equivalent):
         'langid_documents': q_langid_documents,
         'fingerprint_documents': q_fingerprint_documents,
@@ -1100,6 +1131,10 @@ def oracle_sql() -> dict[str, str]:
         'drift_groups_lineitem': """
             SELECT l_returnflag AS grp, count(l_quantity) AS n
             FROM lineitem GROUP BY 1
+        """,
+        'plugin_even_lineitem': """
+            SELECT CAST(l_orderkey AS VARCHAR) AS key
+            FROM lineitem WHERE l_quantity % 2 <> 0
         """,
         'embedding_near_dup': """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
