@@ -763,6 +763,10 @@ def q_image_flagship(sf_dir: str):
     from python_fastjsonschema_ray.pipelines.flagship import run_flagship
     from python_fastjsonschema_ray.sources.images import image_dataset
     ds = image_dataset(1000, seed=42, violation_rate=0.01, shard_size=250)
+    # near_dup_dist stays off here: the synthetic gradient corpus's 8x8
+    # average-hash is a weak discriminator (5k+ hamming-0 collisions among
+    # 1000 images), so a pair count over it is data noise, not signal —
+    # the hamming operator has its own driver query over documents.
     report, _ = run_flagship(ds, stats=False)
     rows = []
     for rule, n in sorted(report['schema_violations'].items()):

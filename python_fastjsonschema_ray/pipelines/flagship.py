@@ -132,12 +132,16 @@ class ValidateAndDecodeStage:
 
 
 def run_flagship(ds, *, reference_phashes=None, width_profile=None,
-                 width_edges=None, concurrency=None, stats=True):
+                 width_edges=None, concurrency=None, stats=True,
+                 near_dup_dist=None):
     """Full validation run over an image+caption Dataset.
 
     ``reference_phashes``: iterable/array of allowed phash keys (referential
     check); None skips the check.  ``width_profile``/``width_edges``: drift
-    reference for the ``w`` column; None skips drift."""
+    reference for the ``w`` column; None skips drift.  ``near_dup_dist``:
+    when set, also reports perceptual near-duplicate pairs — images whose
+    64-bit phashes are within this hamming distance (pigeonhole-banded LSH,
+    one shuffle; SURVEY §2.5 'phash hamming buckets')."""
     report = {}
 
     # 1+2. Schema validation + decode/integrity in ONE streaming pass
@@ -156,6 +160,14 @@ def run_flagship(ds, *, reference_phashes=None, width_profile=None,
     dups = check_unique(ds.select_columns(['phash', 'image_id']),
                         ['phash', 'image_id'])
     report['duplicate_keys'] = dups.count()
+
+    # 3b. Perceptual near-dup (phash hamming) — optional.
+    if near_dup_dist is not None:
+        from ..stages.dedup import hamming_near_dup
+        pairs = hamming_near_dup(
+            ds.select_columns(['image_id', 'phash']),
+            'image_id', 'phash', max_dist=near_dup_dist)
+        report['near_dup_pairs'] = pairs.count()
 
     # 4. Referential: phash ∈ reference key set (broadcast anti-filter).
     if reference_phashes is not None:

@@ -72,7 +72,9 @@ class DecodeCheckStage:
         if n == 0:
             return pa.table({name: pa.array([], type=t)
                              for name, t in DECODE_RESULT_FIELDS})
-        off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        off_dtype = (np.int64 if pa.types.is_large_binary(arr.type)
+                     else np.int32)
+        off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
             arr.offset:arr.offset + n + 1].astype(np.int64)
         data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
         null_mask = None

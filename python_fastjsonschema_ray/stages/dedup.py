@@ -737,16 +737,23 @@ def hamming_near_dup(ds, id_column, hash_column, *, max_dist=3, bands=None):
     chunks of near-blank images; cap per-bucket fanout upstream by
     pre-filtering degenerate signatures if the corpus has them."""
     if bands is None:
-        bands = max_dist + 1
+        # Smallest divisor of 64 exceeding max_dist (pigeonhole needs
+        # bands > max_dist for guaranteed recall; chunks must tile 64 bits).
+        bands = next(b for b in (1, 2, 4, 8, 16, 32, 64) if b > max_dist)
     assert 64 % bands == 0, 'bands must divide 64'
     chunk_bits = 64 // bands
     mask = np.int64((1 << chunk_bits) - 1) if chunk_bits < 64 \
         else np.int64(-1)
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_column).combine_chunks()
-        h = np.asarray(batch.column(hash_column).combine_chunks()
-                       .cast(pa.int64())).astype(np.int64)
+        import pyarrow.compute as pc
+        ids_all = batch.column(id_column).combine_chunks()
+        h_all = batch.column(hash_column).combine_chunks()
+        # Null ids/hashes are skipped (engine-wide null-key policy): they
+        # carry no identity to pair on and break sort-based bucketing.
+        keep = pc.and_(ids_all.is_valid(), h_all.is_valid())
+        ids = ids_all.filter(keep)
+        h = np.asarray(h_all.filter(keep).cast(pa.int64())).astype(np.int64)
         n = len(h)
         out_band = np.tile(np.arange(bands, dtype=np.int64), n)
         chunks = np.empty((n, bands), dtype=np.int64)
