@@ -105,8 +105,33 @@ def _parquet_rows(directory: str) -> int:
     return total
 
 
+
+def _ensure_fsspec_http_importable():
+    """Ray's path resolution does ``from fsspec.implementations.http import
+    HTTPFileSystem`` catching only ModuleNotFoundError; in this sandbox the
+    module fails on a missing aiohttp, and CONCURRENT first-imports from
+    shard threads can surface a partially-initialized module as a plain
+    ImportError instead, crashing the job.  Pre-seed a stub module with a
+    placeholder class (nothing is ever an instance of it, so Ray's
+    isinstance check correctly returns False)."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+        return
+    except Exception:
+        pass
+    import sys
+    import types
+    stub = types.ModuleType('fsspec.implementations.http')
+
+    class HTTPFileSystem:       # placeholder — never instantiated
+        pass
+
+    stub.HTTPFileSystem = HTTPFileSystem
+    sys.modules['fsspec.implementations.http'] = stub
+
+
 def run_validation_job(input_files, definition, out_dir, *, key_column=None,
-                       flags=None, concurrency=None):
+                       flags=None, concurrency=None, shard_parallelism=4):
     """Resumable validation over a list of input parquet shards.
 
     SINGLE validation pass per shard: one read → one compiled-validator
@@ -119,10 +144,14 @@ def run_validation_job(input_files, definition, out_dir, *, key_column=None,
     atomically (write to ``<part>.tmp``, rename), then recorded in the
     manifest; partitions are keyed by input-path hash (see
     :func:`partition_id`), so re-running skips exactly the finished
-    inputs.  At cluster scale there are far more shards than nodes, so
-    per-shard sequencing on the driver does not limit parallelism; within
-    a shard the streaming executor parallelizes freely."""
+    inputs.  ``shard_parallelism`` shard pipelines run concurrently from
+    the driver (streaming executions share the cluster; manifest writes
+    serialize under a lock) so small shards amortize per-pipeline fixed
+    cost — within each shard the streaming executor parallelizes
+    freely."""
+    import threading
     import uuid
+    from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -130,14 +159,25 @@ def run_validation_job(input_files, definition, out_dir, *, key_column=None,
 
     from .validate import VIOLATIONS_SCHEMA, TableValidator
 
+    _ensure_fsspec_http_importable()
+
     flags = flags or {}
     def_json = json.dumps(definition, sort_keys=True, default=str)
     flags_json = json.dumps(flags, sort_keys=True, default=str)
     manifest = RunManifest(out_dir, plan_hash(definition, flags))
+    manifest_lock = threading.Lock()
+    construct_lock = threading.Lock()   # dataset CONSTRUCTION serialized;
+    #                                     execution overlaps freely
+
+    pending = []
     for path in sorted(input_files):
         part_id = partition_id(path)
         if manifest.is_done(part_id, input_path=str(path)):
             continue
+        pending.append((part_id, path))
+
+    def process(item):
+        part_id, path = item
         t0 = time.time()
         part_dir = os.path.join(out_dir, part_id)
         tmp_dir = part_dir + '.tmp'
@@ -148,13 +188,14 @@ def run_validation_job(input_files, definition, out_dir, *, key_column=None,
         os.makedirs(verd_dir)
         os.makedirs(viol_dir)
 
-        ds = ray.data.read_parquet(path)
-        arrow_schema = pa.schema(
-            [pa.field(n, t) for n, t in
-             zip(ds.schema().names, ds.schema().types)])
+        with construct_lock:
+            ds = ray.data.read_parquet(path)
+            arrow_schema = pa.schema(
+                [pa.field(n, t) for n, t in
+                 zip(ds.schema().names, ds.schema().types)])
         schema_bytes = arrow_schema.serialize().to_pybytes()
 
-        def run_batch(batch: pa.Table, _viol_dir=viol_dir) -> pa.Table:
+        def run_batch(batch: pa.Table) -> pa.Table:
             key = (schema_bytes, def_json, flags_json, key_column)
             validator = _VALIDATOR_CACHE.get(key)
             if validator is None:
@@ -168,7 +209,7 @@ def run_validation_job(input_files, definition, out_dir, *, key_column=None,
             violations = validator.violations_table(batch, result)
             if violations.num_rows:
                 pq.write_table(violations, os.path.join(
-                    _viol_dir, uuid.uuid4().hex + '.parquet'))
+                    viol_dir, uuid.uuid4().hex + '.parquet'))
             return result.output.append_column(
                 'valid', pa.array(result.valid, type=pa.bool_()))
 
@@ -184,7 +225,17 @@ def run_validation_job(input_files, definition, out_dir, *, key_column=None,
         if os.path.exists(part_dir):
             shutil.rmtree(part_dir)
         os.replace(tmp_dir, part_dir)
-        manifest.record(part_id, input=str(path), rows=n_rows,
-                        violations=n_violations,
-                        duration_s=round(time.time() - t0, 3))
+        with manifest_lock:
+            manifest.record(part_id, input=str(path), rows=n_rows,
+                            violations=n_violations,
+                            duration_s=round(time.time() - t0, 3))
+
+    if pending:
+        workers = max(1, min(int(shard_parallelism), len(pending)))
+        if workers == 1:
+            for item in pending:
+                process(item)
+        else:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                list(pool.map(process, pending))
     return manifest.summary()
