@@ -30,38 +30,23 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / norms[:, None]
 
 
-class _LocalTopKStage:
-    """Per-batch exact cosine top-k against the broadcast query vector(s)."""
+# Per-worker cache for the broadcast (unit-normalized) query matrix:
+# plain-task map_batches, no actor-pool spin-up.
+_QUERY_CACHE = {}
 
-    def __init__(self, id_column, embedding_column, query_ref, k):
-        import ray
-        self.id_column = id_column
-        self.embedding_column = embedding_column
-        q = ray.get(query_ref)
-        q = np.asarray(q, dtype=np.float64)
-        if q.ndim == 1:
-            q = q[None, :]
-        self.query = _unit(q)
-        self.k = k
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = _unit(_as_matrix(batch, self.embedding_column))
-        sims = emb @ self.query.T            # (n, n_queries)
-        ids = batch.column(self.id_column)
-        out_q, out_id, out_sim = [], [], []
-        for qi in range(sims.shape[1]):
-            col = sims[:, qi]
-            k = min(self.k, len(col))
-            idx = np.argpartition(-col, k - 1)[:k]
-            for i in idx:
-                out_q.append(qi)
-                out_id.append(ids[int(i)].as_py())
-                out_sim.append(float(col[i]))
-        return pa.table({
-            'query': pa.array(out_q, type=pa.int64()),
-            self.id_column: pa.array(out_id),
-            'sim': pa.array(out_sim, type=pa.float64()),
-        })
+def _unit_query_from_ref(query_ref):
+    import ray
+    key = query_ref.hex()
+    q = _QUERY_CACHE.get(key)
+    if q is None:
+        if len(_QUERY_CACHE) > 8:
+            _QUERY_CACHE.clear()
+        raw = np.asarray(ray.get(query_ref), dtype=np.float64)
+        if raw.ndim == 1:
+            raw = raw[None, :]
+        q = _QUERY_CACHE[key] = _unit(raw)
+    return q
 
 
 def topk_cosine(ds, id_column, embedding_column, query, k=10,
@@ -71,15 +56,29 @@ def topk_cosine(ds, id_column, embedding_column, query, k=10,
     import ray
 
     query_ref = ray.put(np.asarray(query, dtype=np.float64))
-    kwargs = {'batch_format': 'pyarrow', 'batch_size': batch_size,
-              'num_cpus': 0.5}
-    if concurrency is None:
-        concurrency = max(1, int(ray.cluster_resources().get('CPU', 2)) // 2)
-    kwargs['concurrency'] = concurrency
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qmat = _unit_query_from_ref(query_ref)
+        emb = _unit(_as_matrix(batch, embedding_column))
+        sims = emb @ qmat.T                  # (n, n_queries)
+        ids = batch.column(id_column)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(sims.shape[1]):
+            col = sims[:, qi]
+            kk = min(k, len(col))
+            idx = np.argpartition(-col, kk - 1)[:kk]
+            for i in idx:
+                out_q.append(qi)
+                out_id.append(ids[int(i)].as_py())
+                out_sim.append(float(col[i]))
+        return pa.table({
+            'query': pa.array(out_q, type=pa.int64()),
+            id_column: pa.array(out_id),
+            'sim': pa.array(out_sim, type=pa.float64()),
+        })
+
     partials = ds.select_columns([id_column, embedding_column]).map_batches(
-        _LocalTopKStage,
-        fn_constructor_args=(id_column, embedding_column, query_ref, k),
-        **kwargs)
+        local_topk, batch_format='pyarrow', batch_size=batch_size)
     # Partials are tiny (k rows per batch): merge on the driver.
     df = partials.to_pandas()
     out = []
@@ -106,18 +105,13 @@ def _kmeans(sample: np.ndarray, nlist: int, iters: int = 12, seed: int = 3):
     return centroids
 
 
-class _AssignStage:
-    def __init__(self, embedding_column, centroids_ref):
-        import ray
-        self.embedding_column = embedding_column
-        self.centroids = _unit(np.asarray(ray.get(centroids_ref),
-                                          dtype=np.float64))
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = _unit(_as_matrix(batch, self.embedding_column))
-        assign = np.argmax(emb @ self.centroids.T, axis=1)
-        return batch.append_column('ivf_cluster',
-                                   pa.array(assign, type=pa.int64()))
+def _assign_clusters(batch: pa.Table, embedding_column,
+                     centroids_ref) -> pa.Table:
+    centroids = _unit_query_from_ref(centroids_ref)
+    emb = _unit(_as_matrix(batch, embedding_column))
+    assign = np.argmax(emb @ centroids.T, axis=1)
+    return batch.append_column('ivf_cluster',
+                               pa.array(assign, type=pa.int64()))
 
 
 def build_ivf(ds, embedding_column, nlist=64, sample_rows=10_000,
@@ -133,13 +127,9 @@ def build_ivf(ds, embedding_column, nlist=64, sample_rows=10_000,
     mat = np.stack(sample[embedding_column].to_numpy()).astype(np.float64)
     centroids = _kmeans(mat, min(nlist, len(mat)))
     centroids_ref = ray.put(centroids)
-    kwargs = {'batch_format': 'pyarrow', 'num_cpus': 0.5}
-    if concurrency is None:
-        concurrency = max(1, int(ray.cluster_resources().get('CPU', 2)) // 2)
-    kwargs['concurrency'] = concurrency
     tagged = ds.map_batches(
-        _AssignStage, fn_constructor_args=(embedding_column, centroids_ref),
-        **kwargs)
+        lambda b: _assign_clusters(b, embedding_column, centroids_ref),
+        batch_format='pyarrow')
     return tagged, centroids
 
 
