@@ -239,15 +239,32 @@ def dedup_exact(ds, columns, concurrency=None):
         first_row, batch_format='pandas')
 
 
-def dedup_winner_ids(ds, columns, id_column, num_buckets=None):
-    """Winner ids of an exact dedup (min id per distinct key): bucketed
-    aggregation (see check_unique) — coarse hash-bucket shuffle, vectorized
-    pandas min inside each bucket group.  At scale, filter the full rows by
-    broadcasting these ids (or semi-joining)."""
+def dedup_winner_ids(ds, columns, id_column, num_buckets=None,
+                     coalesce=True):
+    """Winner ids of an exact dedup (min id per distinct key): per-batch
+    pre-aggregation (local min id per distinct key) then the bucketed
+    aggregation (see check_unique) — the shuffle moves at most one row per
+    distinct key per block, never the raw rows.  At scale, filter the full
+    rows by broadcasting these ids (or semi-joining).
+
+    ``coalesce`` repartitions the pre-aggregated partials to ~cpus/2
+    blocks before the sort shuffle, whose fixed cost scales with task
+    count: right when partials are key-cardinality-bounded and modest.
+    At extreme distinct-key cardinality (10^9+) pass ``coalesce=False``
+    so block sizes stay bounded by the upstream layout."""
     import pandas as pd
 
     columns = list(columns)
-    bucketed = ds.map_batches(
+
+    def local_winners(batch: pa.Table) -> pa.Table:
+        sub = batch.select(columns + [id_column])
+        grouped = sub.group_by(columns).aggregate([(id_column, 'min')])
+        return grouped.rename_columns(columns + [id_column])
+
+    partials = ds.map_batches(local_winners, batch_format='pyarrow')
+    if coalesce:
+        partials = partials.repartition(_default_buckets() // 8 or 1)
+    bucketed = partials.map_batches(
         _AddKeyBucket(columns, num_buckets or _default_buckets()),
         batch_format='pyarrow')
 
