@@ -196,7 +196,8 @@ def _default_buckets():
     return max(32, 4 * int(ray.cluster_resources().get('CPU', 8)))
 
 
-def check_unique(ds, columns, concurrency=None, num_buckets=None):
+def check_unique(ds, columns, concurrency=None, num_buckets=None,
+                 coalesce=True):
     """Duplicate-key detection.
 
     Two-level structure chosen for scale: (1) per-batch pre-aggregation
@@ -205,7 +206,9 @@ def check_unique(ds, columns, concurrency=None, num_buckets=None):
     vectorized pandas groupby.  The bucket keeps the Ray-level group count
     ~O(cluster), avoiding the sort-aggregate's per-distinct-key overhead
     while the exchange still moves at most one row per distinct key per
-    block.  Returns duplicate keys with counts (columns..., n)."""
+    block.  ``coalesce`` repartitions the partials to ~cpus/2 blocks
+    first (sort cost scales with task count); disable at 10^9+ distinct
+    keys.  Returns duplicate keys with counts (columns..., n)."""
     import pandas as pd
 
     columns = list(columns)
@@ -213,6 +216,8 @@ def check_unique(ds, columns, concurrency=None, num_buckets=None):
     if concurrency:
         kwargs['concurrency'] = concurrency
     partials = ds.map_batches(_KeyCountStage(columns), **kwargs)
+    if coalesce:
+        partials = partials.repartition(_default_buckets() // 8 or 1)
     bucketed = partials.map_batches(
         _AddKeyBucket(columns, num_buckets or _default_buckets()),
         batch_format='pyarrow')
