@@ -35,10 +35,21 @@ def run_compare(save: bool):
     --benchmark-compare-fail, Makefile:37-45): run the bench in a fresh
     process, then compare per-query seconds against the saved baseline
     run; exit 1 if total or any query regressed past TOLERANCE."""
-    out = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                         env=dict(os.environ), capture_output=True,
-                         text=True, check=True).stdout
-    result = json.loads(out.strip().splitlines()[-1])
+    def one_run():
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=dict(os.environ), capture_output=True,
+                             text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    result = one_run()
+    if save:
+        # Best-of-2: transient host contention inflates a whole run 2-5x
+        # uniformly; anchoring the gate to such a sample would mask real
+        # regressions.
+        time.sleep(5)
+        second = one_run()
+        if second['value'] < result['value']:
+            result = second
     if save or not os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH, 'w') as f:
             json.dump(result, f, indent=1, sort_keys=True)
