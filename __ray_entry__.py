@@ -187,15 +187,20 @@ def q_topk_documents(sf_dir: str):
 
 
 def q_group_stats_lineitem(sf_dir: str):
-    """Grouped aggregation (shuffle) with named outputs."""
-    from ray.data.aggregate import Count, Sum
+    """Grouped aggregation with a map-side combiner (no raw-row shuffle):
+    each block collapses to one partial row per flag via an Arrow
+    group_by, and the 3-group result is folded in a single tiny task —
+    the exchange moves partials, not the 600k rows."""
+    from python_fastjsonschema_ray.pipelines.constraints import grouped_agg
     ds = _read(sf_dir, 'lineitem', ['l_returnflag', 'l_quantity'])
-    out = ds.groupby('l_returnflag').aggregate(
-        Sum('l_quantity', alias_name='sum_qty'),
-        Count(alias_name='n'))
+    out = grouped_agg(ds, ['l_returnflag'],
+                      {'sum_qty': ('l_quantity', 'sum'),
+                       'n': (None, 'count')},
+                      combine='single')
 
     def round_qty(batch: pd.DataFrame) -> pd.DataFrame:
         batch['sum_qty'] = batch['sum_qty'].round(2)
+        batch['n'] = batch['n'].astype('int64')
         return batch
 
     return out.map_batches(round_qty, batch_format='pandas')

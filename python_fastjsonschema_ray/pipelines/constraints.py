@@ -450,6 +450,119 @@ def salted_group_agg(ds, key_columns, value_column, num_salts=16,
     return final
 
 
+class _GroupedPartialStage:
+    """Per-batch Arrow group_by combiner: one partial row per distinct key
+    per block, never the raw rows."""
+
+    def __init__(self, key_columns, arrow_specs, partial_names):
+        self.key_columns = key_columns
+        self.arrow_specs = arrow_specs
+        self.partial_names = partial_names
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        grouped = batch.group_by(self.key_columns).aggregate(self.arrow_specs)
+        # Arrow names aggregate outputs '{col}_{op}' / 'count_all'; map them
+        # to our stable partial names (selection by name, order-independent).
+        arrow_names = [('count_all' if col == [] else f'{col}_{op}')
+                       for col, op in self.arrow_specs]
+        cols = {k: grouped.column(k) for k in self.key_columns}
+        for arrow_name, pname in zip(arrow_names, self.partial_names):
+            cols[pname] = grouped.column(arrow_name)
+        return pa.table(cols)
+
+
+def grouped_agg(ds, key_columns, aggs, *, combine='bucket',
+                num_buckets=None, coalesce=True, concurrency=None):
+    """Grouped aggregation with a map-side combiner (pre-aggregation).
+
+    Ray's built-in ``groupby().aggregate()`` is a sort-based shuffle of
+    EVERY input row (no map-side combine) — the canonical all-to-all
+    bottleneck at 100 TB.  For algebraic aggregates each block can collapse
+    to ≤1 partial row per distinct key first, so this operator runs
+    (1) an Arrow ``group_by`` inside each batch emitting per-key partials,
+    then (2) combines the partials:
+
+    * ``combine='single'`` — coalesce the partials into ONE block and fold
+      with a single vectorized pandas groupby.  Right when key cardinality
+      is small (≲1e6 groups): the exchange moves only partial rows and
+      avoids the sort-shuffle's per-task fixed cost entirely.
+    * ``combine='bucket'`` — coarse hash-bucket shuffle then per-bucket
+      vectorized pandas combine (the check_unique pattern) — for large key
+      cardinality where one block of partials would not fit.
+
+    ``aggs`` maps output_name -> (column, op) with op in
+    {'sum', 'count', 'min', 'max', 'mean'}; column is ignored for 'count'
+    (row count).  'mean' decomposes into sum+valid-count partials and is
+    finalized after the combine (null-skipping, like SQL AVG).
+    """
+    import pandas as pd
+
+    key_columns = list(key_columns)
+    # Decompose outputs into deduplicated partial specs.
+    partial_specs = {}   # partial_name -> (arrow_spec, combine_op)
+
+    def need(col, op):
+        if op == 'count' and col is None:
+            pname = '__p_count_all'
+            partial_specs[pname] = (([], 'count_all'), 'sum')
+        else:
+            fold = {'sum': 'sum', 'count': 'sum',
+                    'min': 'min', 'max': 'max'}[op]
+            pname = f'__p_{col}_{op}'
+            partial_specs[pname] = ((col, op), fold)
+        return pname
+
+    finalize = {}        # output_name -> ('direct', pname) | ('div', num, den)
+    for name, (col, op) in aggs.items():
+        if op == 'mean':
+            finalize[name] = ('div', need(col, 'sum'), need(col, 'count'))
+        elif op == 'count':
+            finalize[name] = ('direct', need(None, 'count'))
+        elif op in ('sum', 'min', 'max'):
+            finalize[name] = ('direct', need(col, op))
+        else:
+            raise ValueError(f'unsupported agg op: {op!r}')
+
+    pnames = list(partial_specs)
+    stage = _GroupedPartialStage(
+        key_columns, [partial_specs[p][0] for p in pnames], pnames)
+    kwargs = {'batch_format': 'pyarrow'}
+    if concurrency:
+        kwargs['concurrency'] = concurrency
+    partials = ds.map_batches(stage, **kwargs)
+
+    fold_ops = {p: partial_specs[p][1] for p in pnames}
+
+    def fold(frame: pd.DataFrame) -> pd.DataFrame:
+        merged = frame.groupby(key_columns, sort=False, dropna=False,
+                               as_index=False).agg(
+            **{p: (p, fold_ops[p]) for p in pnames})
+        out = merged[key_columns].copy()
+        for name, spec in finalize.items():
+            if spec[0] == 'direct':
+                out[name] = merged[spec[1]]
+            else:
+                denom = merged[spec[2]].replace(0, np.nan)
+                out[name] = merged[spec[1]] / denom
+        return out
+
+    if combine == 'single':
+        one = partials.repartition(1)
+        return one.map_batches(fold, batch_format='pandas',
+                               batch_size=None)
+    if coalesce:
+        partials = partials.repartition(_default_buckets() // 8 or 1)
+    bucketed = partials.map_batches(
+        _AddKeyBucket(key_columns, num_buckets or _default_buckets()),
+        batch_format='pyarrow')
+
+    def fold_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return fold(group.drop(columns=['_bucket']))
+
+    return bucketed.groupby('_bucket').map_groups(
+        fold_bucket, batch_format='pandas')
+
+
 # ---------------------------------------------------------------------------
 # Distribution drift (PSI / KS against a reference profile)
 

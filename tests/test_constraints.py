@@ -210,3 +210,67 @@ def test_embedding_matrix_sliced_fixed_size_list():
     got = embedding_matrix(sliced)
     expected = np.arange(24, dtype=np.float64).reshape(6, 4)[2:5]
     assert np.array_equal(got, expected)
+
+
+def _grouped_agg_expected(ddb):
+    return ddb.execute("""
+        SELECT l_returnflag, sum(l_quantity) AS s, count(*) AS n,
+               min(l_quantity) AS mn, max(l_quantity) AS mx,
+               avg(l_quantity) AS m
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """).df()
+
+
+@pytest.mark.parametrize('combine', ['single', 'bucket'])
+def test_grouped_agg_vs_duckdb(ray_session, ddb, combine):
+    import ray.data
+    from python_fastjsonschema_ray.pipelines.constraints import grouped_agg
+    ds = ray.data.read_parquet(SF + '/lineitem.parquet',
+                               columns=['l_returnflag', 'l_quantity'])
+    out = grouped_agg(ds, ['l_returnflag'],
+                      {'s': ('l_quantity', 'sum'),
+                       'n': (None, 'count'),
+                       'mn': ('l_quantity', 'min'),
+                       'mx': ('l_quantity', 'max'),
+                       'm': ('l_quantity', 'mean')},
+                      combine=combine).to_pandas()
+    out = out.sort_values('l_returnflag').reset_index(drop=True)
+    exp = _grouped_agg_expected(ddb)
+    assert out['l_returnflag'].tolist() == exp['l_returnflag'].tolist()
+    for c in ('s', 'n', 'mn', 'mx'):
+        assert out[c].tolist() == exp[c].tolist(), c
+    assert np.allclose(out['m'], exp['m'])
+
+
+def test_grouped_agg_null_keys_and_values(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from python_fastjsonschema_ray.pipelines.constraints import grouped_agg
+    t = pa.table({
+        'k': pa.array(['a', 'a', None, 'b', None], type=pa.string()),
+        'v': pa.array([1.0, None, 3.0, 4.0, 5.0], type=pa.float64())})
+    ds = ray.data.from_arrow(t)
+    out = grouped_agg(ds, ['k'],
+                      {'s': ('v', 'sum'), 'n': (None, 'count'),
+                       'm': ('v', 'mean')},
+                      combine='single').to_pandas()
+    by_key = {(None if k != k or k is None else k): (s, n, m)
+              for k, s, n, m in zip(out['k'], out['s'], out['n'], out['m'])}
+    # NULL keys form their own group (SQL GROUP BY semantics); mean skips
+    # null values.
+    assert by_key['a'] == (1.0, 2, 1.0)
+    assert by_key['b'] == (4.0, 1, 4.0)
+    assert by_key[None] == (8.0, 2, 4.0)
+
+
+def test_grouped_agg_all_null_values_mean(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from python_fastjsonschema_ray.pipelines.constraints import grouped_agg
+    t = pa.table({'k': pa.array(['a', 'a']),
+                  'v': pa.array([None, None], type=pa.float64())})
+    out = grouped_agg(ray.data.from_arrow(t), ['k'],
+                      {'m': ('v', 'mean'), 'n': (None, 'count')},
+                      combine='single').to_pandas()
+    assert out['n'].tolist() == [2]
+    assert np.isnan(out['m'].iloc[0])
