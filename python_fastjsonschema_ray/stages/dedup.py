@@ -594,7 +594,15 @@ def dedup_minhash(ds, id_column, text_column, **kwargs):
 
 
 class SimHashStage:
-    """64-bit SimHash over whitespace tokens (per-actor hash cache)."""
+    """64-bit SimHash over whitespace tokens, batch-vectorized.
+
+    Per batch: tokenize once, factorize to the batch's UNIQUE tokens
+    (blake2b hashed once each, per-actor cache amortizes across batches),
+    unpack each unique hash to a (U, 64) bit matrix, then segment-sum the
+    per-occurrence bit rows per document (64 ``np.bincount`` passes) —
+    vote[d, i] = 2·ones[d, i] − n_tokens[d], bit i set iff vote > 0.
+    No per-document Python; the only per-unique-token loop is the hash
+    cache probe."""
 
     def __init__(self, id_column, text_column):
         self.id_column = id_column
@@ -609,7 +617,19 @@ class SimHashStage:
                 self._cache.clear()
         return h
 
+    def _unique_hashes(self, uniques) -> np.ndarray:
+        cache = self._cache
+        missing = [t for t in uniques if t not in cache]
+        if missing:
+            hashed = _hash_bytes_array(missing)
+            if len(cache) + len(missing) > 1_000_000:
+                cache.clear()
+            cache.update(zip(missing, hashed))
+        return np.fromiter((cache[t] for t in uniques), dtype=np.uint64,
+                           count=len(uniques))
+
     def simhash(self, text: str) -> int:
+        """Scalar reference path (tests assert batch ≡ scalar)."""
         tokens = text.lower().split()
         if not tokens:
             return 0
@@ -623,9 +643,50 @@ class SimHashStage:
             sig |= np.uint64(1) << np.uint64(i)
         return int(sig.astype(np.int64))
 
+    def simhash_batch(self, texts) -> np.ndarray:
+        """Vectorized kernel: int64 signatures for a sequence of texts."""
+        tok_lists = [t.lower().split() for t in texts]
+        n = len(tok_lists)
+        counts = np.fromiter(map(len, tok_lists), dtype=np.int64, count=n)
+        sigs = np.zeros(n, dtype=np.int64)
+        total = int(counts.sum())
+        if not total:
+            return sigs
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for toks in tok_lists:
+            flat[pos:pos + len(toks)] = toks
+            pos += len(toks)
+        codes, uniques = pd.factorize(flat)
+        uh = self._unique_hashes(uniques)
+        # One small gather of the 64-bit hashes per occurrence, then a
+        # per-bit prefix-sum segmented reduction: ones[d, i] =
+        # csum_i[end_d] - csum_i[start_d].  int64 cumsum is the one fast
+        # segmented primitive on this numpy build (add.reduceat and a
+        # (tokens, 64) gather+bincount both measured 3-25x slower).
+        h_occ = uh.view(np.int64)[codes]
+        hb = h_occ.view(np.uint8).reshape(-1, 8)
+        starts = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        ends = starts[1:]
+        csum = np.empty(total + 1, dtype=np.int64)
+        csum[0] = 0
+        ones = np.empty((n, 64), dtype=np.int64)
+        for j in range(8):
+            col = hb[:, j]
+            for k in range(8):
+                np.cumsum((col >> k) & 1, dtype=np.int64, out=csum[1:])
+                ones[:, j * 8 + k] = csum[ends] - csum[starts[:-1]]
+        votes = 2 * ones - counts[:, None]
+        packed = np.packbits((votes > 0).astype(np.uint8), axis=1,
+                             bitorder='little')
+        sigs[:] = packed.view(np.uint64).ravel().view(np.int64)
+        sigs[counts == 0] = 0
+        return sigs
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch['simhash'] = [
-            self.simhash(t) for t in batch[self.text_column].fillna('')]
+        batch['simhash'] = self.simhash_batch(
+            batch[self.text_column].fillna('').tolist())
         return batch
 
 

@@ -274,3 +274,18 @@ def test_grouped_agg_all_null_values_mean(ray_session):
                       combine='single').to_pandas()
     assert out['n'].tolist() == [2]
     assert np.isnan(out['m'].iloc[0])
+
+
+def test_dedup_exact_winner_deterministic(ray_session):
+    """Pre-aggregated dedup_exact keeps the lowest-sort-order full row per
+    key, regardless of block layout."""
+    import pyarrow as pa
+    import ray.data
+    from python_fastjsonschema_ray.pipelines.constraints import dedup_exact
+    t = pa.table({
+        'k': ['x', 'x', 'y', 'x', 'y', 'z'],
+        'v': [3, 1, 9, 2, 8, 5]})
+    # Spread rows over several blocks so local winners must be re-folded.
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = dedup_exact(ds, ['k']).to_pandas().sort_values('k')
+    assert list(zip(out['k'], out['v'])) == [('x', 1), ('y', 8), ('z', 5)]

@@ -263,3 +263,21 @@ def test_hamming_near_dup_exact_and_recall(ray_session):
             truth[(ids[i], ids[j])] = d
     assert got == truth, (got, truth)
     assert len(truth) >= 3          # the planted d<=3 pairs exist
+
+
+def test_simhash_batch_equals_scalar():
+    """The vectorized per-batch SimHash kernel is bit-identical to the
+    scalar reference path, including empty/whitespace-only/unicode docs."""
+    import random
+    from python_fastjsonschema_ray.stages.dedup import SimHashStage
+    rng = random.Random(11)
+    vocab = (['hello', 'World', 'café', '…x', 'aaaa', '123']
+             + ['tok%d' % i for i in range(80)])
+    texts = ['', '   ', 'ünïcode Ünïcode ünïcode', 'a']
+    for _ in range(200):
+        texts.append(' '.join(
+            rng.choices(vocab, k=rng.randint(0, 150))))
+    st = SimHashStage('doc_id', 'text')
+    batch = st.simhash_batch(texts).tolist()
+    scalar = [SimHashStage('doc_id', 'text').simhash(t) for t in texts]
+    assert batch == scalar
