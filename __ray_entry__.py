@@ -160,7 +160,8 @@ def q_token_count_documents(sf_dir: str):
     """Whitespace token counting (vectorized text stage)."""
     from python_fastjsonschema_ray.stages.text import TokenCountStage
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
-    out = ds.map_batches(TokenCountStage('text'), batch_format='pandas')
+    out = ds.map_batches(TokenCountStage('text', subwords=False),
+                         batch_format='pandas')
     return out.select_columns(['doc_id', 'n_tokens'])
 
 

@@ -35,20 +35,56 @@ STOPWORDS = {
 }
 
 
+def _explode_token_lists(tok_lists):
+    """Flatten per-doc token lists into one object array plus padded
+    cumulative offsets (csum[starts], csum[ends] segment the flat array)."""
+    n = len(tok_lists)
+    counts = np.fromiter(map(len, tok_lists), dtype=np.int64, count=n)
+    total = int(counts.sum())
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for toks in tok_lists:
+        flat[pos:pos + len(toks)] = toks
+        pos += len(toks)
+    bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=bounds[1:])
+    return flat, counts, bounds
+
+
+def _segment_sum(values, bounds):
+    """Per-document sums of a flat per-token value array via one int64/
+    float64 prefix sum (the fast segmented reduction on this numpy
+    build)."""
+    csum = np.zeros(len(values) + 1,
+                    dtype=np.float64 if values.dtype.kind == 'f'
+                    else np.int64)
+    np.cumsum(values, out=csum[1:])
+    return csum[bounds[1:]] - csum[bounds[:-1]]
+
+
 class TokenCountStage:
     """Whitespace token count (oracle-matched: DuckDB
-    ``regexp_split_to_array + list_filter``) plus a BPE-ish subword
-    estimate."""
+    ``regexp_split_to_array + list_filter``) plus an optional BPE-ish
+    subword estimate.
 
-    def __init__(self, column='text'):
+    ``n_tokens`` is one vectorized ``str.count`` pass.  The subword
+    estimate still walks regex matches per row (its count is defined by
+    the scanner's alternation semantics, which have no closed-form
+    vectorization); pass ``subwords=False`` to skip it in pipelines that
+    only need the whitespace count."""
+
+    def __init__(self, column='text', subwords=True):
         self.column = column
+        self.subwords = subwords
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch[self.column].fillna('')
-        batch['n_tokens'] = [len(_WS_TOKEN.findall(t)) for t in texts]
-        batch['n_subwords'] = [
-            sum(1 for m in _BPE_ISH.finditer(t) if not m.group().isspace())
-            for t in texts]
+        batch['n_tokens'] = texts.str.count(_WS_TOKEN.pattern).astype('int64')
+        if self.subwords:
+            batch['n_subwords'] = [
+                sum(1 for m in _BPE_ISH.finditer(t)
+                    if not m.group().isspace())
+                for t in texts]
         return batch
 
 
@@ -68,31 +104,38 @@ class QualityStage:
         batch['n_chars'] = n_chars
         batch['alpha_ratio'] = (alpha / n_chars.clip(lower=1)).round(6)
         batch['punct_ratio'] = (punct / n_chars.clip(lower=1)).round(6)
-        stop_ratio = []
-        mean_wl = []
-        for t in texts:
-            words = t.lower().split()
-            if not words:
-                stop_ratio.append(0.0)
-                mean_wl.append(0.0)
-                continue
-            stop_ratio.append(sum(w in self.stop_en for w in words) / len(words))
-            mean_wl.append(sum(len(w) for w in words) / len(words))
+        # Stopword/word-length ratios: flatten the batch's tokens once,
+        # one C-level set-membership pass + per-token lengths, then
+        # prefix-sum segmented reductions per document (no per-word
+        # Python in the hot path).
+        flat, counts, bounds = _explode_token_lists(
+            [t.lower().split() for t in texts])
+        denom = np.maximum(counts, 1).astype(np.float64)
+        hits = pd.Series(flat, dtype=object).isin(self.stop_en).to_numpy()
+        stop_ratio = _segment_sum(hits.astype(np.int64), bounds) / denom
+        wlens = np.fromiter(map(len, flat), dtype=np.int64, count=len(flat))
+        mean_wl = _segment_sum(wlens, bounds) / denom
         batch['stopword_ratio'] = stop_ratio
         batch['mean_word_len'] = mean_wl
         # Composite: favor mid-length, alphabetic, some stopwords.
         length_score = np.clip(n_chars / 200.0, 0, 1)
         batch['quality_score'] = (
             0.4 * batch['alpha_ratio'] + 0.3 * length_score
-            + 0.3 * np.clip(np.asarray(stop_ratio) * 4, 0, 1)).round(6)
+            + 0.3 * np.clip(stop_ratio * 4, 0, 1)).round(6)
         return batch
+
+
+_LANG_WORD = re.compile(r'[a-zàâäéèêëïîôöùûüç]+')
 
 
 class LangIdStage:
     """Stopword/script-based language ID over {en, de, fr, es, zh}.
 
     CJK script ratio decides zh; otherwise the language with the most
-    stopword hits wins (en on ties/no-hits)."""
+    stopword hits wins (en on ties/no-hits).  The batch path flattens the
+    batch's words once and scores all languages with C-level membership
+    passes + segmented prefix sums; ``classify`` is the scalar reference
+    (tests assert batch ≡ scalar)."""
 
     def __init__(self, column='text'):
         self.column = column
@@ -104,7 +147,7 @@ class LangIdStage:
         cjk = len(_CJK.findall(text))
         if cjk / max(len(text), 1) > 0.2:
             return 'zh'
-        words = re.findall(r'[a-zàâäéèêëïîôöùûüç]+', text.lower())
+        words = _LANG_WORD.findall(text.lower())
         if not words:
             return 'en'
         best, best_score = 'en', -1
@@ -115,8 +158,24 @@ class LangIdStage:
         return best
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        batch['lang_pred'] = [
-            self.classify(t) for t in batch[self.column].fillna('')]
+        texts = batch[self.column].fillna('')
+        n_chars = texts.str.len().to_numpy()
+        cjk = texts.str.count(_CJK.pattern).to_numpy()
+        is_zh = cjk / np.maximum(n_chars, 1) > 0.2
+        flat, counts, bounds = _explode_token_lists(
+            texts.str.lower().str.findall(_LANG_WORD.pattern).tolist())
+        flat_s = pd.Series(flat, dtype=object)
+        langs = list(self.tables)        # insertion order == tie order
+        scores = np.empty((len(texts), len(langs)), dtype=np.int64)
+        for j, lang in enumerate(langs):
+            hits = flat_s.isin(self.tables[lang]).to_numpy()
+            scores[:, j] = _segment_sum(hits.astype(np.int64), bounds)
+        # argmax takes the FIRST maximum — identical to the scalar loop's
+        # strict-greater update seeded at en.  No-word docs score 0
+        # everywhere and fall to en the same way.
+        winner = np.asarray(langs, dtype=object)[np.argmax(scores, axis=1)]
+        winner[is_zh] = 'zh'
+        batch['lang_pred'] = winner
         return batch
 
 

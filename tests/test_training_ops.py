@@ -281,3 +281,35 @@ def test_simhash_batch_equals_scalar():
     batch = st.simhash_batch(texts).tolist()
     scalar = [SimHashStage('doc_id', 'text').simhash(t) for t in texts]
     assert batch == scalar
+
+
+def test_text_stage_batch_equals_scalar():
+    """Vectorized quality/langid/token-count paths match per-row reference
+    computation, including empty/null/whitespace/CJK rows."""
+    import pandas as pd
+    import numpy as np
+    from python_fastjsonschema_ray.stages.text import (
+        LangIdStage, QualityStage, TokenCountStage, _WS_TOKEN)
+    texts = ['', '   ', None, '今天天气很好我们一起去公园散步吧然后吃饭',
+             'der hund ist nicht mit der katze', '!!!', 'a b c the of to',
+             'le chat est dans la maison avec les enfants',
+             'Mixed CASE text with the usual English stopwords of it']
+    df = pd.DataFrame({'text': texts})
+    st = LangIdStage('text')
+    out = LangIdStage('text')(df.copy())
+    assert out['lang_pred'].tolist() == [
+        st.classify(t if t is not None else '') for t in texts]
+    qa = QualityStage('text')(df.copy())
+    stop_en = QualityStage('text').stop_en
+    for i, t in enumerate(t if t is not None else '' for t in texts):
+        w = t.lower().split()
+        exp_stop = (sum(x in stop_en for x in w) / len(w)) if w else 0.0
+        exp_mwl = (sum(len(x) for x in w) / len(w)) if w else 0.0
+        assert qa['stopword_ratio'].iloc[i] == exp_stop
+        assert qa['mean_word_len'].iloc[i] == exp_mwl
+    tc = TokenCountStage('text')(df.copy())
+    assert tc['n_tokens'].tolist() == [
+        len(_WS_TOKEN.findall(t if t is not None else '')) for t in texts]
+    assert 'n_subwords' in tc.columns
+    tc2 = TokenCountStage('text', subwords=False)(df.copy())
+    assert 'n_subwords' not in tc2.columns
