@@ -30,9 +30,20 @@ import shutil
 import time
 
 
+def _stable_default(value):
+    """JSON fallback for plan hashing: callables (custom formats /
+    handlers) map to their import path — stable across processes, unlike
+    ``str(fn)`` whose memory address would break resume."""
+    if callable(value):
+        return '<callable {}.{}>'.format(
+            getattr(value, '__module__', '?'),
+            getattr(value, '__qualname__', repr(value.__class__)))
+    return str(value)
+
+
 def plan_hash(definition, flags=None) -> str:
     payload = json.dumps({'definition': definition, 'flags': flags or {}},
-                         sort_keys=True, default=str)
+                         sort_keys=True, default=_stable_default)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
@@ -94,6 +105,33 @@ class RunManifest:
 # (same pattern as pipelines/flagship._STAGE_CACHE).
 _VALIDATOR_CACHE = {}
 
+_TASK_BATCH_ORDINALS = {}
+
+
+def _violation_file_name() -> str:
+    """Deterministic per-(task, batch) violation filename: a retried Ray
+    task (worker crash, object loss) re-derives the same names and
+    OVERWRITES its earlier partial files instead of double-counting —
+    Ray task ids are stable across retry attempts and batch slicing
+    within a block is deterministic.  Falls back to a uuid only outside
+    any task context (driver-local execution, where retries cannot
+    happen)."""
+    import uuid
+    task_id = None
+    try:
+        import ray
+        task_id = ray.get_runtime_context().get_task_id()
+    except Exception:
+        pass
+    if not task_id:
+        return uuid.uuid4().hex + '.parquet'
+    if task_id not in _TASK_BATCH_ORDINALS and \
+            len(_TASK_BATCH_ORDINALS) > 256:
+        _TASK_BATCH_ORDINALS.clear()
+    ordinal = _TASK_BATCH_ORDINALS.get(task_id, 0)
+    _TASK_BATCH_ORDINALS[task_id] = ordinal + 1
+    return 'task-{}-{:05d}.parquet'.format(task_id, ordinal)
+
 
 def _parquet_rows(directory: str) -> int:
     import pyarrow.parquet as pq
@@ -148,7 +186,14 @@ def run_validation_job(input_files, definition, out_dir, *, key_column=None,
     the driver (streaming executions share the cluster; manifest writes
     serialize under a lock) so small shards amortize per-pipeline fixed
     cost — within each shard the streaming executor parallelizes
-    freely."""
+    freely.
+
+    Multi-node note: per-batch violation files and ``write_parquet``
+    verdicts are written by WORKER tasks, so ``out_dir`` must be shared
+    storage (NFS / object store URI) on a multi-node cluster — a local
+    path only works single-node.  Violation filenames are derived from
+    the writing task's Ray task id + batch ordinal, so a retried task
+    overwrites its own partial files instead of double-counting."""
     import threading
     import uuid
     from concurrent.futures import ThreadPoolExecutor
@@ -163,7 +208,17 @@ def run_validation_job(input_files, definition, out_dir, *, key_column=None,
 
     flags = flags or {}
     def_json = json.dumps(definition, sort_keys=True, default=str)
-    flags_json = json.dumps(flags, sort_keys=True, default=str)
+    try:
+        flags_json = json.dumps(flags, sort_keys=True)
+        runtime_flags = None          # reconstruct from JSON in workers
+    except TypeError:
+        # Callable flags (custom formats / ref handlers): ship the real
+        # objects via closure capture (cloudpickle) instead of silently
+        # stringifying them into garbage; the per-job token keys the
+        # worker-side validator cache (stable across task retries because
+        # the serialized closure is reused).
+        flags_json = '<unserializable:{}>'.format(uuid.uuid4().hex)
+        runtime_flags = flags
     manifest = RunManifest(out_dir, plan_hash(definition, flags))
     manifest_lock = threading.Lock()
     construct_lock = threading.Lock()   # dataset CONSTRUCTION serialized;
@@ -201,15 +256,17 @@ def run_validation_job(input_files, definition, out_dir, *, key_column=None,
             if validator is None:
                 if len(_VALIDATOR_CACHE) > 8:
                     _VALIDATOR_CACHE.clear()
+                batch_flags = (runtime_flags if runtime_flags is not None
+                               else json.loads(flags_json))
                 validator = _VALIDATOR_CACHE[key] = TableValidator(
                     json.loads(def_json),
                     pa.ipc.read_schema(pa.BufferReader(schema_bytes)),
-                    key_column=key_column, **json.loads(flags_json))
+                    key_column=key_column, **batch_flags)
             result = validator.validate_batch(batch)
             violations = validator.violations_table(batch, result)
             if violations.num_rows:
                 pq.write_table(violations, os.path.join(
-                    viol_dir, uuid.uuid4().hex + '.parquet'))
+                    viol_dir, _violation_file_name()))
             return result.output.append_column(
                 'valid', pa.array(result.valid, type=pa.bool_()))
 

@@ -77,8 +77,11 @@ def topk_cosine(ds, id_column, embedding_column, query, k=10,
             'sim': pa.array(out_sim, type=pa.float64()),
         })
 
+    kwargs = {'batch_format': 'pyarrow', 'batch_size': batch_size}
+    if concurrency:
+        kwargs['concurrency'] = concurrency
     partials = ds.select_columns([id_column, embedding_column]).map_batches(
-        local_topk, batch_format='pyarrow', batch_size=batch_size)
+        local_topk, **kwargs)
     # Partials are tiny (k rows per batch): merge on the driver.
     df = partials.to_pandas()
     out = []
@@ -127,9 +130,12 @@ def build_ivf(ds, embedding_column, nlist=64, sample_rows=10_000,
     mat = np.stack(sample[embedding_column].to_numpy()).astype(np.float64)
     centroids = _kmeans(mat, min(nlist, len(mat)))
     centroids_ref = ray.put(centroids)
+    kwargs = {'batch_format': 'pyarrow'}
+    if concurrency:
+        kwargs['concurrency'] = concurrency
     tagged = ds.map_batches(
         lambda b: _assign_clusters(b, embedding_column, centroids_ref),
-        batch_format='pyarrow')
+        **kwargs)
     return tagged, centroids
 
 

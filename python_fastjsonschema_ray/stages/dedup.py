@@ -279,7 +279,8 @@ def minhash_duplicate_pairs(ds, id_column, text_column, *, threshold=0.8,
 
     Shuffle discipline: only (band, band_hash, id) triples move through the
     LSH groupby — never the text (b small rows per doc); the groupby key is
-    the band id (32 coarse groups) with vectorized in-group bucketing.
+    the band id (``bands`` coarse groups) with vectorized in-group
+    bucketing.
     Verification is fully distributed: candidate texts are selected by an
     object-store-broadcast id semi-join (ids only — never texts — touch
     the driver, and only as ObjectRefs), then joined to the pairs with two
@@ -291,7 +292,10 @@ def minhash_duplicate_pairs(ds, id_column, text_column, *, threshold=0.8,
     at similarity s collides with probability 1-(1-s**r)**bands, i.e.
     ~95% at s=0.8 but only ~6% at s=0.5 (r=4 would pass ~87% of
     0.5-similar pairs - a candidate explosion at corpus scale).  More
-    bands => higher recall at the threshold AND more candidates."""
+    bands => higher recall at the threshold AND more candidates.  NOTE:
+    this default changed from bands=32/r=4 (which had ~100% recall at
+    s=0.8 exactly); recall-sensitive small corpora can pass bands=32
+    explicitly to restore it."""
     import ray
     import ray.data
 

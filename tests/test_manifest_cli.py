@@ -125,3 +125,63 @@ def test_cli_schema_from_stdin(tmp_path):
         capture_output=True, text=True, cwd='/root/repo')
     assert out.returncode == 0, out.stderr
     assert json.loads(out.stdout)['status'] == 'ok'
+
+
+def _even_format(value):
+    return int(value) % 2 == 0
+
+
+def test_plan_hash_callable_flags_stable():
+    """Callable flags hash by import path, not memory address — a resume
+    in a fresh process must see the same plan hash."""
+    from python_fastjsonschema_ray.pipelines.manifest import plan_hash
+    a = plan_hash({'properties': {}}, {'formats': {'even': _even_format}})
+    b = plan_hash({'properties': {}}, {'formats': {'even': _even_format}})
+    assert a == b
+    c = plan_hash({'properties': {}}, {'formats': {'odd': _even_format}})
+    assert a != c
+
+
+def test_run_validation_job_callable_flags(ray_session, tmp_path):
+    """Callable custom formats survive the job path (no default=str
+    stringification): the validator must actually call them."""
+    import pyarrow as pa
+    from python_fastjsonschema_ray.pipelines.manifest import (
+        run_validation_job)
+    p = tmp_path / 'in.parquet'
+    pq.write_table(pa.table({
+        'id': pa.array(list(range(6)), type=pa.int64()),
+        's': pa.array(['0', '1', '2', '3', '4', '5']),
+    }), p)
+    spec = {'properties': {'s': {'type': 'string', 'format': 'even'}}}
+    out = str(tmp_path / 'out')
+    summary = run_validation_job(
+        [str(p)], spec, out, key_column='id',
+        flags={'formats': {'even': _even_format}})
+    assert summary['rows'] == 6
+    assert summary['violations'] == 3      # '1', '3', '5'
+
+
+def test_violation_file_names_deterministic(ray_session, tmp_path):
+    """Two runs over the same shard produce identically-NAMED violation
+    files (task-retry idempotence requires name determinism; uuid names
+    would double-count on re-execution)."""
+    import pyarrow as pa
+    from python_fastjsonschema_ray.pipelines.manifest import (
+        run_validation_job)
+    p = tmp_path / 'in.parquet'
+    pq.write_table(pa.table({
+        'id': pa.array(list(range(10)), type=pa.int64()),
+        'v': pa.array([i - 5 for i in range(10)], type=pa.int64()),
+    }), p)
+    spec = {'properties': {'v': {'minimum': 0}}}
+    names = []
+    for run in range(2):
+        out = str(tmp_path / 'out_{}'.format(run))
+        run_validation_job([str(p)], spec, out, key_column='id')
+        part = [d for d in os.listdir(out) if d.startswith('part=')][0]
+        viol = os.path.join(out, part, 'violations')
+        names.append(sorted(f for f in os.listdir(viol)
+                            if f.endswith('.parquet')))
+    # Names are structured (task-derived), not uuids.
+    assert all(n.startswith('task-') for n in names[0]), names[0]
