@@ -753,6 +753,54 @@ def q_embedding_near_dup(sf_dir: str):
     return _df_with_columns(out, ['id_a', 'id_b'])
 
 
+def q_embedding_components(sf_dir: str):
+    """Connected components (transitive near-dup clusters) over the
+    embedding near-dup pair graph — each id maps to the min id of its
+    cluster.  Oracle: DuckDB recursive CTE over the identical all-pairs
+    cosine edge set (valid for the same reasons as embedding_near_dup:
+    exact in-bucket verification, negligible LSH miss at 0.999)."""
+    from python_fastjsonschema_ray.stages.components import (
+        connected_components)
+    from python_fastjsonschema_ray.stages.dedup import (
+        embedding_duplicate_pairs)
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    pairs = embedding_duplicate_pairs(ds, 'vec_id', 'embedding', dim=64,
+                                      threshold=0.999)
+    out = connected_components(pairs)
+    return _df_with_columns(out, ['id', 'component_id'])
+
+
+def q_components_orders(sf_dir: str):
+    """Multi-hop connected components: edges link CONSECUTIVE orders of
+    the same customer, so each customer's orders form a chain and the
+    closure must propagate the min orderkey across ~10 hops — a
+    non-trivial transitive-closure exercise with an exact recursive-CTE
+    oracle.  Edge building is the bucketed-groupby pattern (partials
+    shuffle on a coarse hash of custkey, vectorized pandas shift per
+    bucket)."""
+    from python_fastjsonschema_ray.pipelines.constraints import (
+        _AddKeyBucket, _default_buckets)
+    from python_fastjsonschema_ray.stages.components import (
+        connected_components)
+    ds = _read(sf_dir, 'orders', ['o_orderkey', 'o_custkey'])
+    bucketed = ds.map_batches(
+        _AddKeyBucket(['o_custkey'], _default_buckets()),
+        batch_format='pyarrow')
+
+    def adjacent(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(['o_custkey', 'o_orderkey'])
+        nxt = g.groupby('o_custkey')['o_orderkey'].shift(-1)
+        mask = nxt.notna()
+        return pd.DataFrame({
+            'id_a': g.loc[mask, 'o_orderkey'].astype('int64'),
+            'id_b': nxt[mask].astype('int64')})
+
+    pairs = bucketed.groupby('_bucket').map_groups(
+        adjacent, batch_format='pandas')
+    out = connected_components(pairs)
+    return _df_with_columns(out, ['id', 'component_id'])
+
+
 def q_drift_lineitem(sf_dir: str):
     from python_fastjsonschema_ray.pipelines.constraints import (
         drift_check, histogram_profile)
@@ -862,6 +910,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'histogram_lineitem': q_histogram_lineitem,
         'drift_groups_lineitem': q_drift_groups_lineitem,
         'embedding_near_dup': q_embedding_near_dup,
+        'embedding_components': q_embedding_components,
+        'components_orders': q_components_orders,
         'plugin_even_lineitem': q_plugin_even_lineitem,
         # rows-only (no SQL equivalent):
         'langid_documents': q_langid_documents,
@@ -1150,6 +1200,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+        """,
+        'embedding_components': """
+            WITH RECURSIVE pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(a.embedding, b.embedding)
+                      >= 0.999
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach(src, dst) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+            )
+            SELECT src AS id, LEAST(MIN(dst), src) AS component_id
+            FROM reach GROUP BY src
+        """,
+        'components_orders': """
+            WITH RECURSIVE nxt AS (
+                SELECT o_orderkey AS id_a,
+                       LEAD(o_orderkey) OVER (
+                           PARTITION BY o_custkey ORDER BY o_orderkey
+                       ) AS id_b
+                FROM orders
+            ), pairs AS (
+                SELECT id_a, id_b FROM nxt WHERE id_b IS NOT NULL
+            ), edges AS (
+                SELECT id_a AS u, id_b AS v FROM pairs
+                UNION
+                SELECT id_b, id_a FROM pairs
+            ), reach(src, dst) AS (
+                SELECT u, v FROM edges
+                UNION
+                SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u
+            )
+            SELECT src AS id, LEAST(MIN(dst), src) AS component_id
+            FROM reach GROUP BY src
         """,
         'sessions_events': """
             WITH deltas AS (

@@ -36,9 +36,12 @@ def __getattr__(name):
         from .pipelines import validate as _validate
         return getattr(_validate, name)
     if name in ('column_stats', 'check_unique', 'check_referential',
-                'drift_check', 'dedup_exact'):
+                'drift_check', 'dedup_exact', 'grouped_agg'):
         from .pipelines import constraints as _constraints
         return getattr(_constraints, name)
+    if name in ('connected_components', 'connected_components_distributed'):
+        from .stages import components as _components
+        return getattr(_components, name)
     if name == 'run_flagship':
         from .pipelines import flagship as _flagship
         return _flagship.run_flagship

@@ -558,11 +558,13 @@ def minhash_duplicate_pairs(ds, id_column, text_column, *, threshold=0.8,
     return phase2.groupby('_bucket').map_groups(verify, batch_format='pyarrow')
 
 
-def dedup_minhash(ds, id_column, text_column, **kwargs):
-    """Near-dup removal: drop the higher id of every duplicate pair.
-    (Connected components collapse transitively-linked groups; for the
-    common near-dup threshold ≥0.8 pair-wise removal is the standard
-    first-order policy.)
+def dedup_minhash(ds, id_column, text_column, transitive=False, **kwargs):
+    """Near-dup removal: drop the higher id of every duplicate pair, or —
+    with ``transitive=True`` — collapse each CONNECTED COMPONENT of the
+    pair graph to its minimum id (a chain a~b~c keeps only a, even when
+    a and c are not pairwise similar).  Pair-wise removal is the standard
+    first-order policy at threshold ≥0.8; transitive collapse is the
+    cluster-level policy (see stages/components.py).
 
     The loser-id set is broadcast as object-store refs (ids only, one
     8-byte value per duplicate) — the driver and worker heaps never hold
@@ -572,11 +574,24 @@ def dedup_minhash(ds, id_column, text_column, **kwargs):
 
     pairs = minhash_duplicate_pairs(ds, id_column, text_column, **kwargs)
 
-    def losers_only(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {id_column: pc.unique(batch.column('id_b').combine_chunks())})
+    if transitive:
+        from .components import connected_components
+        comp = connected_components(pairs)
 
-    loser_refs = pairs.map_batches(
+        def losers_only(batch: pa.Table) -> pa.Table:
+            keep = pc.not_equal(batch.column('id'),
+                                batch.column('component_id'))
+            return pa.table({id_column: batch.filter(keep).column('id')})
+
+        loser_src = comp
+    else:
+        def losers_only(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {id_column: pc.unique(batch.column('id_b').combine_chunks())})
+
+        loser_src = pairs
+
+    loser_refs = loser_src.map_batches(
         losers_only, batch_format='pyarrow').to_arrow_refs()
     if sum(len(ray.get(r)) for r in loser_refs) == 0:
         return ds
