@@ -172,7 +172,7 @@ def main():
     consume = {
         'range_violations_lineitem', 'stats_lineitem', 'group_stats_lineitem',
         'token_count_documents', 'minhash_pairs_documents', 'ann_topk',
-        'dedup_exact_documents', 'unique_events',
+        'dedup_exact_documents', 'unique_events', 'components_orders',
     }
     for name in sorted(consume & set(queries)):
         fn = queries[name]

@@ -94,40 +94,52 @@ class ValidateAndDecodeStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         result = self.validator.validate_batch(batch)
         vt = self.validator.violations_table(batch, result)
-        keys = vt.column('key').to_pylist()
-        rules = vt.column('rule').to_pylist()
-        msgs = vt.column('message').to_pylist()
-        srcs = ['schema'] * len(keys)
-
         res = self.decoder(batch)
-        ids = np.asarray(res.column('image_id').to_pylist(), dtype=object)
+        # Assemble with Arrow takes/concats: Python materialization is
+        # bounded by the VIOLATION count, never the batch size.
+        ids_arr = res.column('image_id').combine_chunks().cast(pa.string())
         dec_ok = np.asarray(res.column('decode_ok')).astype(bool)
         dims_ok = np.asarray(res.column('dims_match')).astype(bool)
         ph_ok = np.asarray(res.column('phash_match')).astype(bool)
         bad_decode = np.nonzero(~dec_ok)[0]
         bad_dims = np.nonzero(dec_ok & ~dims_ok)[0]
         bad_phash = np.nonzero(dec_ok & dims_ok & ~ph_ok)[0]
+
+        key_parts = [vt.column('key').combine_chunks().cast(pa.string())]
+        rule_parts = [vt.column('rule').combine_chunks().cast(pa.string())]
+        msg_parts = [vt.column('message').combine_chunks().cast(pa.string())]
+        n_content = 0
         if len(bad_decode):
-            errs = res.column('error').take(
-                pa.array(bad_decode, type=pa.int64())).to_pylist()
-            keys.extend(ids[bad_decode])
-            rules.extend(['decode'] * len(bad_decode))
-            msgs.extend('data.bytes failed to decode: {}'.format(e)
-                        for e in errs)
-        keys.extend(ids[bad_dims])
-        rules.extend(['dims'] * len(bad_dims))
-        msgs.extend(['data.w/data.h declared dims do not match '
-                     'decoded payload'] * len(bad_dims))
-        keys.extend(ids[bad_phash])
-        rules.extend(['phash'] * len(bad_phash))
-        msgs.extend(['data.phash does not match decoded content hash']
-                    * len(bad_phash))
-        srcs += ['content'] * (len(keys) - len(srcs))
+            idx = pa.array(bad_decode, type=pa.int64())
+            errs = res.column('error').take(idx).to_pylist()
+            key_parts.append(ids_arr.take(idx))
+            rule_parts.append(pa.array(['decode'] * len(bad_decode),
+                                       type=pa.string()))
+            msg_parts.append(pa.array(
+                ['data.bytes failed to decode: {}'.format(e) for e in errs],
+                type=pa.string()))
+            n_content += len(bad_decode)
+        for idx_np, rule, msg in (
+                (bad_dims, 'dims', 'data.w/data.h declared dims do not '
+                                   'match decoded payload'),
+                (bad_phash, 'phash',
+                 'data.phash does not match decoded content hash')):
+            if not len(idx_np):
+                continue
+            idx = pa.array(idx_np, type=pa.int64())
+            key_parts.append(ids_arr.take(idx))
+            rule_parts.append(pa.array([rule] * len(idx_np),
+                                       type=pa.string()))
+            msg_parts.append(pa.array([msg] * len(idx_np),
+                                      type=pa.string()))
+            n_content += len(idx_np)
+        source = pa.array(['schema'] * vt.num_rows
+                          + ['content'] * n_content, type=pa.string())
         return pa.table({
-            'key': pa.array(keys, type=pa.string()),
-            'source': pa.array(srcs, type=pa.string()),
-            'rule': pa.array(rules, type=pa.string()),
-            'message': pa.array(msgs, type=pa.string()),
+            'key': pa.concat_arrays(key_parts),
+            'source': source,
+            'rule': pa.concat_arrays(rule_parts),
+            'message': pa.concat_arrays(msg_parts),
         })
 
 
