@@ -111,3 +111,73 @@ def test_conformance_vector(reference, draft, group):
         covered += 1
     if covered == 0:
         pytest.skip('no test data representable as an Arrow column')
+
+
+# ---------------------------------------------------------------------------
+# Remote $ref groups (official-suite remoteRef shape).  The suite serves
+# remotes from http://localhost:1234/ via handler stubs
+# (/root/reference/tests/json_schema/utils.py:17-70); here each group
+# carries its remote documents inline and both engines get the same
+# scheme->lookup handler — no network, same coverage.
+
+
+def _remote_params():
+    with open(os.path.join(HERE, 'conformance', 'remote.json')) as f:
+        groups = json.load(f)
+    return [pytest.param(g, id='remote:' + g['description']) for g in groups]
+
+
+def _group_handlers(group):
+    remotes = group['remotes']
+
+    def handler(uri):
+        if uri in remotes:
+            return copy.deepcopy(remotes[uri])
+        raise LookupError('unknown remote URI: {}'.format(uri))
+
+    return {'http': handler, 'https': handler}
+
+
+@pytest.mark.parametrize('group', _remote_params())
+def test_conformance_remote_scalar(reference, group):
+    import python_fastjsonschema_ray as engine
+
+    schema = _with_draft(group['schema'], group['draft'])
+    handlers = _group_handlers(group)
+    ref_v = reference.compile(copy.deepcopy(schema), handlers=handlers)
+    eng_v = engine.compile(copy.deepcopy(schema), handlers=handlers)
+    for t in group['tests']:
+        expected = _outcome(ref_v, t['data'],
+                            reference.JsonSchemaValueException, None)
+        got = _outcome(eng_v, t['data'],
+                       engine.JsonSchemaValueException, None)
+        ctx = '{} / {}'.format(group['description'], t['description'])
+        assert got == expected, (
+            'engine != reference at ' + ctx
+            + '\nexpected: {!r}\ngot:      {!r}'.format(expected, got))
+        assert (got[0] == 'ok') == t['valid'], (
+            'official-suite verdict mismatch at ' + ctx)
+
+
+@pytest.mark.parametrize('group', _remote_params())
+def test_conformance_remote_vector(reference, group):
+    """Remote-ref corpus through the vectorized table path (one-column
+    wrap; the remote documents resolve via the same handlers)."""
+    schema = group['schema']
+    wrapped = {'properties': {'col': copy.deepcopy(schema)}}
+    if DRAFT_URI[group['draft']] is not None:
+        wrapped['$schema'] = DRAFT_URI[group['draft']]
+    if isinstance(schema, dict) and 'definitions' in schema:
+        wrapped['definitions'] = copy.deepcopy(schema['definitions'])
+    handlers = _group_handlers(group)
+    covered = 0
+    for t in group['tests']:
+        try:
+            col = pa.array([t['data']])
+        except Exception:
+            continue
+        assert_table_parity(reference, wrapped, pa.table({'col': col}),
+                            fast_fail=True, handlers=handlers)
+        covered += 1
+    if covered == 0:
+        pytest.skip('no test data representable as an Arrow column')

@@ -15,8 +15,10 @@ import pytest
 from python_fastjsonschema_ray.pipelines.validate import TableValidator
 
 
-def reference_row_outcomes(reference, schema, rows, fast_fail=True):
-    validator = reference.compile(copy.deepcopy(schema), fast_fail=fast_fail)
+def reference_row_outcomes(reference, schema, rows, fast_fail=True,
+                           handlers=None):
+    validator = reference.compile(copy.deepcopy(schema), fast_fail=fast_fail,
+                                  handlers=handlers or {})
     outcomes = []
     for row in rows:
         try:
@@ -37,16 +39,17 @@ def reference_row_outcomes(reference, schema, rows, fast_fail=True):
 
 
 def assert_table_parity(reference, schema, table, fast_fail=True,
-                        check_transform=False):
+                        check_transform=False, handlers=None):
     tv = TableValidator(copy.deepcopy(schema), table.schema,
-                        fast_fail=fast_fail)
+                        fast_fail=fast_fail, handlers=handlers or {})
     result = tv.validate_batch(table)
     from python_fastjsonschema_ray.functions.arrowutil import pylist_json
     rows = [dict(zip(table.schema.names, vals)) for vals in zip(*[
         pylist_json(table.column(c).combine_chunks())
         for c in table.schema.names])] if table.num_rows else []
     expected = reference_row_outcomes(reference, schema, rows,
-                                      fast_fail=fast_fail)
+                                      fast_fail=fast_fail,
+                                      handlers=handlers)
 
     by_row = {}
     for r, rec in result.records:
