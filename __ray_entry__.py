@@ -753,6 +753,31 @@ def q_embedding_near_dup(sf_dir: str):
     return _df_with_columns(out, ['id_a', 'id_b'])
 
 
+def q_join_orders_customer(sf_dir: str):
+    """Dimension enrichment: broadcast lookup join of orders against the
+    customer table (small side ships once as object-store refs; per
+    batch one vectorized index_in + take, no shuffle)."""
+    from python_fastjsonschema_ray.stages.join import broadcast_lookup_join
+    orders = _read(sf_dir, 'orders', ['o_orderkey', 'o_custkey'])
+    customer = _read(sf_dir, 'customer', ['c_custkey', 'c_mktsegment'])
+    out = broadcast_lookup_join(orders, 'o_custkey', customer, 'c_custkey',
+                                ['c_mktsegment'], how='inner')
+    return out.select_columns(['o_orderkey', 'c_mktsegment'])
+
+
+def q_join_lineitem_orders(sf_dir: str):
+    """Large-large equi-join: lineitem x orders on the order key via the
+    bucketed shuffle join (both sides exchange once on a coarse key
+    hash; per-bucket vectorized merge)."""
+    from python_fastjsonschema_ray.stages.join import shuffle_join
+    li = _read(sf_dir, 'lineitem', ['l_orderkey', 'l_quantity'])
+    orders = _read(sf_dir, 'orders', ['o_orderkey', 'o_orderstatus'])
+    out = shuffle_join(li, orders, 'l_orderkey', 'o_orderkey',
+                       ['o_orderstatus'])
+    return _df_with_columns(
+        out, ['l_orderkey', 'l_quantity', 'o_orderstatus'])
+
+
 def q_embedding_components(sf_dir: str):
     """Connected components (transitive near-dup clusters) over the
     embedding near-dup pair graph — each id maps to the min id of its
@@ -912,6 +937,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'embedding_near_dup': q_embedding_near_dup,
         'embedding_components': q_embedding_components,
         'components_orders': q_components_orders,
+        'join_orders_customer': q_join_orders_customer,
+        'join_lineitem_orders': q_join_lineitem_orders,
         'plugin_even_lineitem': q_plugin_even_lineitem,
         # rows-only (no SQL equivalent):
         'langid_documents': q_langid_documents,
@@ -1218,6 +1245,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS id, LEAST(MIN(dst), src) AS component_id
             FROM reach GROUP BY src
+        """,
+        'join_orders_customer': """
+            SELECT o.o_orderkey, c.c_mktsegment
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        'join_lineitem_orders': """
+            SELECT l.l_orderkey, l.l_quantity, o.o_orderstatus
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         """,
         'components_orders': """
             WITH RECURSIVE nxt AS (

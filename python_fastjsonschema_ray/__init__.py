@@ -42,6 +42,9 @@ def __getattr__(name):
     if name in ('connected_components', 'connected_components_distributed'):
         from .stages import components as _components
         return getattr(_components, name)
+    if name in ('broadcast_lookup_join', 'shuffle_join'):
+        from .stages import join as _join
+        return getattr(_join, name)
     if name == 'run_flagship':
         from .pipelines import flagship as _flagship
         return _flagship.run_flagship
