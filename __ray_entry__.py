@@ -753,6 +753,21 @@ def q_embedding_near_dup(sf_dir: str):
     return _df_with_columns(out, ['id_a', 'id_b'])
 
 
+def q_quantiles_lineitem(sf_dir: str):
+    """EXACT distributed quantiles (quantile_disc semantics) by
+    iterative histogram narrowing — no shuffle, no materialization,
+    O(log) streaming scans; the t-digest in column_stats is the one-pass
+    approximate sibling."""
+    from python_fastjsonschema_ray.stages.quantile import exact_quantile
+    ds = _read(sf_dir, 'lineitem', ['l_extendedprice'])
+    rows = []
+    for q in (0.5, 0.9, 0.99):
+        rows.append({'q': q,
+                     'value': round(exact_quantile(
+                         ds, 'l_extendedprice', q), 2)})
+    return pd.DataFrame(rows)
+
+
 def q_join_orders_customer(sf_dir: str):
     """Dimension enrichment: broadcast lookup join of orders against the
     customer table (small side ships once as object-store refs; per
@@ -939,6 +954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'components_orders': q_components_orders,
         'join_orders_customer': q_join_orders_customer,
         'join_lineitem_orders': q_join_lineitem_orders,
+        'quantiles_lineitem': q_quantiles_lineitem,
         'plugin_even_lineitem': q_plugin_even_lineitem,
         # rows-only (no SQL equivalent):
         'langid_documents': q_langid_documents,
@@ -1249,6 +1265,17 @@ def oracle_sql() -> dict[str, str]:
         'join_orders_customer': """
             SELECT o.o_orderkey, c.c_mktsegment
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        'quantiles_lineitem': """
+            SELECT 0.5 AS q,
+                   ROUND(quantile_disc(l_extendedprice, 0.5), 2) AS value
+            FROM lineitem
+            UNION ALL
+            SELECT 0.9, ROUND(quantile_disc(l_extendedprice, 0.9), 2)
+            FROM lineitem
+            UNION ALL
+            SELECT 0.99, ROUND(quantile_disc(l_extendedprice, 0.99), 2)
+            FROM lineitem
         """,
         'join_lineitem_orders': """
             SELECT l.l_orderkey, l.l_quantity, o.o_orderstatus

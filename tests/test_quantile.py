@@ -1,0 +1,80 @@
+"""Exact distributed quantile (histogram narrowing) vs numpy/DuckDB."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(vals, blocks=4):
+    import ray.data
+    return ray.data.from_arrow(pa.table({
+        'x': pa.array(vals, type=pa.float64())})).repartition(blocks)
+
+
+def _disc_rank(n, q):
+    return max(int(math.ceil(n * q)) - 1, 0)
+
+
+def test_select_rank_randomized(ray_session):
+    from python_fastjsonschema_ray.stages.quantile import select_rank
+    rng = np.random.default_rng(7)
+    vals = rng.normal(100, 25, size=5000).round(3)
+    ds = _ds(vals.tolist())
+    srt = np.sort(vals)
+    # Tiny collect_limit forces several narrowing iterations.
+    for rank in (0, 1, 2499, 4998, 4999):
+        got = select_rank(ds, 'x', rank, bins=16, collect_limit=50)
+        assert got == srt[rank], (rank, got, srt[rank])
+
+
+def test_exact_quantile_disc_semantics(ray_session):
+    from python_fastjsonschema_ray.stages.quantile import exact_quantile
+    vals = [5.0, 1.0, 3.0, 2.0, 4.0]
+    ds = _ds(vals, blocks=2)
+    srt = sorted(vals)
+    for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+        assert exact_quantile(ds, 'x', q) == srt[_disc_rank(len(vals), q)]
+
+
+def test_exact_quantile_duplicate_mass(ray_session):
+    """A single dominant value cannot stall the narrowing (range
+    collapses to the point)."""
+    from python_fastjsonschema_ray.stages.quantile import exact_quantile
+    vals = [7.0] * 3000 + [1.0, 99.0]
+    got = exact_quantile(_ds(vals), 'x', 0.5, bins=8, collect_limit=10)
+    assert got == 7.0
+
+
+def test_exact_quantile_nulls_and_empty(ray_session):
+    from python_fastjsonschema_ray.stages.quantile import exact_quantile
+    import ray.data
+    ds = ray.data.from_arrow(pa.table({
+        'x': pa.array([None, 2.0, None, 1.0, 3.0], type=pa.float64())}))
+    assert exact_quantile(ds, 'x', 0.5) == 2.0     # nulls excluded
+    empty = ray.data.from_arrow(pa.table({
+        'x': pa.array([], type=pa.float64())}))
+    assert exact_quantile(empty, 'x', 0.5) is None
+
+
+def test_select_rank_out_of_range(ray_session):
+    from python_fastjsonschema_ray.stages.quantile import select_rank
+    with pytest.raises(ValueError, match='out of range'):
+        select_rank(_ds([1.0, 2.0]), 'x', 5)
+
+
+def test_exact_quantile_vs_duckdb_testdata(ray_session):
+    import duckdb
+    import ray.data
+    from python_fastjsonschema_ray.stages.quantile import exact_quantile
+    path = '/root/testdata/sf0.001/lineitem.parquet'
+    ds = ray.data.read_parquet(path, columns=['l_extendedprice'])
+    con = duckdb.connect()
+    for q in (0.5, 0.99):
+        exp = con.execute(
+            "SELECT quantile_disc(l_extendedprice, {}) FROM "
+            "read_parquet('{}')".format(q, path)).fetchone()[0]
+        assert exact_quantile(ds, 'l_extendedprice', q,
+                              collect_limit=100) == pytest.approx(
+            float(exp), abs=0)
