@@ -753,6 +753,16 @@ def q_embedding_near_dup(sf_dir: str):
     return _df_with_columns(out, ['id_a', 'id_b'])
 
 
+def q_topk_per_lang_documents(sf_dir: str):
+    """Grouped top-k: 3 longest documents per language, deterministic
+    tie-break on doc_id; only k rows per group per block ever shuffle."""
+    from python_fastjsonschema_ray.pipelines.constraints import grouped_topk
+    ds = _read(sf_dir, 'documents', ['doc_id', 'lang', 'n_chars'])
+    out = grouped_topk(ds, ['lang'], ['n_chars', 'doc_id'], k=3,
+                       descending=[True, False])
+    return _df_with_columns(out, ['lang', 'doc_id', 'n_chars'])
+
+
 def q_quantiles_lineitem(sf_dir: str):
     """EXACT distributed quantiles (quantile_disc semantics) by
     iterative histogram narrowing — no shuffle, no materialization,
@@ -955,6 +965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'join_orders_customer': q_join_orders_customer,
         'join_lineitem_orders': q_join_lineitem_orders,
         'quantiles_lineitem': q_quantiles_lineitem,
+        'topk_per_lang_documents': q_topk_per_lang_documents,
         'plugin_even_lineitem': q_plugin_even_lineitem,
         # rows-only (no SQL equivalent):
         'langid_documents': q_langid_documents,
@@ -1265,6 +1276,15 @@ def oracle_sql() -> dict[str, str]:
         'join_orders_customer': """
             SELECT o.o_orderkey, c.c_mktsegment
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        'topk_per_lang_documents': """
+            SELECT lang, doc_id, n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id ASC) AS rn
+                FROM documents)
+            WHERE rn <= 3
         """,
         'quantiles_lineitem': """
             SELECT 0.5 AS q,

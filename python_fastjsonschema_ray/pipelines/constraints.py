@@ -590,6 +590,44 @@ def grouped_agg(ds, key_columns, aggs, *, combine='bucket',
         fold_bucket, batch_format='pandas')
 
 
+def grouped_topk(ds, group_columns, order_columns, k, descending=None,
+                 coalesce=True, num_buckets=None):
+    """Top-k rows per group — the grouped sibling of ``sort().limit()``.
+
+    Same two-level shape as dedup_exact: each block keeps its local
+    top-k per group (vectorized pandas sort+head — top-k is
+    associative), so the shuffle moves at most k rows per group per
+    block; the coarse-bucket fold applies the identical kernel.  Make
+    ``order_columns`` a total order (append a tiebreak key) for a
+    deterministic result."""
+    import pandas as pd
+
+    group_columns = list(group_columns)
+    order_columns = list(order_columns)
+    if descending is None:
+        descending = [True] * len(order_columns)
+    ascending = [not d for d in descending]
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        srt = batch.sort_values(order_columns, ascending=ascending)
+        return srt.groupby(group_columns, sort=False, dropna=False).head(k)
+
+    partials = ds.map_batches(local_topk, batch_format='pandas')
+    if coalesce:
+        partials = partials.repartition(_default_buckets() // 8 or 1)
+    bucketed = partials.map_batches(
+        _AddKeyBucket(group_columns, num_buckets or _default_buckets()),
+        batch_format='pyarrow')
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns=['_bucket'])
+        srt = g.sort_values(order_columns, ascending=ascending)
+        return srt.groupby(group_columns, sort=False, dropna=False).head(k)
+
+    return bucketed.groupby('_bucket').map_groups(fold,
+                                                  batch_format='pandas')
+
+
 # ---------------------------------------------------------------------------
 # Distribution drift (PSI / KS against a reference profile)
 

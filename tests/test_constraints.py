@@ -289,3 +289,42 @@ def test_dedup_exact_winner_deterministic(ray_session):
     ds = ray.data.from_arrow(t).repartition(4)
     out = dedup_exact(ds, ['k']).to_pandas().sort_values('k')
     assert list(zip(out['k'], out['v'])) == [('x', 1), ('y', 8), ('z', 5)]
+
+
+def test_grouped_topk_vs_duckdb(ray_session, ddb):
+    import ray.data
+    from python_fastjsonschema_ray.pipelines.constraints import grouped_topk
+    ds = ray.data.read_parquet(SF + '/lineitem.parquet',
+                               columns=['l_orderkey', 'l_returnflag',
+                                        'l_extendedprice'])
+    out = grouped_topk(ds, ['l_returnflag'],
+                       ['l_extendedprice', 'l_orderkey'], k=4,
+                       descending=[True, False]).to_pandas()
+    exp = ddb.execute("""
+        SELECT l_returnflag, l_orderkey, l_extendedprice FROM (
+            SELECT l_returnflag, l_orderkey, l_extendedprice,
+                   row_number() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice DESC, l_orderkey ASC) rn
+            FROM lineitem) WHERE rn <= 4
+    """).df()
+    cols = ['l_returnflag', 'l_orderkey', 'l_extendedprice']
+    got = sorted(map(tuple, out[cols].itertuples(index=False)))
+    want = sorted(map(tuple, exp[cols].itertuples(index=False)))
+    assert got == want
+
+
+def test_grouped_topk_ascending_and_blocks(ray_session):
+    """Smallest-k variant, fold across many blocks."""
+    import ray.data
+    import pyarrow as pa
+    from python_fastjsonschema_ray.pipelines.constraints import grouped_topk
+    t = pa.table({
+        'g': ['a'] * 6 + ['b'] * 4,
+        'v': [5, 3, 9, 1, 7, 2, 10, 30, 20, 40],
+        'id': list(range(10))})
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = grouped_topk(ds, ['g'], ['v', 'id'], k=2,
+                       descending=[False, False]).to_pandas()
+    got = sorted(map(tuple, out[['g', 'v']].itertuples(index=False)))
+    assert got == [('a', 1), ('a', 2), ('b', 10), ('b', 20)]
