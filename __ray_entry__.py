@@ -753,6 +753,25 @@ def q_embedding_near_dup(sf_dir: str):
     return _df_with_columns(out, ['id_a', 'id_b'])
 
 
+def q_sample_documents(sf_dir: str):
+    """Deterministic ~10% sample keyed on doc_id (Knuth multiplicative
+    hash mod 1e6): same membership on every re-run/cluster layout, pure
+    per-batch filter."""
+    from python_fastjsonschema_ray.stages.sample import deterministic_sample
+    ds = _read(sf_dir, 'documents', ['doc_id'])
+    return deterministic_sample(ds, 'doc_id', 0.1)
+
+
+def q_stratified_sample_documents(sf_dir: str):
+    """Exactly 5 docs per language, deterministically chosen by hash
+    order of doc_id (grouped_topk under the hood)."""
+    from python_fastjsonschema_ray.stages.sample import (
+        stratified_sample_exact)
+    ds = _read(sf_dir, 'documents', ['doc_id', 'lang'])
+    out = stratified_sample_exact(ds, ['lang'], 'doc_id', 5)
+    return _df_with_columns(out, ['lang', 'doc_id'])
+
+
 def q_topk_per_lang_documents(sf_dir: str):
     """Grouped top-k: 3 longest documents per language, deterministic
     tie-break on doc_id; only k rows per group per block ever shuffle."""
@@ -966,6 +985,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'join_lineitem_orders': q_join_lineitem_orders,
         'quantiles_lineitem': q_quantiles_lineitem,
         'topk_per_lang_documents': q_topk_per_lang_documents,
+        'sample_documents': q_sample_documents,
+        'stratified_sample_documents': q_stratified_sample_documents,
         'plugin_even_lineitem': q_plugin_even_lineitem,
         # rows-only (no SQL equivalent):
         'langid_documents': q_langid_documents,
@@ -1276,6 +1297,20 @@ def oracle_sql() -> dict[str, str]:
         'join_orders_customer': """
             SELECT o.o_orderkey, c.c_mktsegment
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        'sample_documents': """
+            SELECT doc_id FROM documents
+            WHERE (doc_id * 2654435761) % 1000000 < 100000
+        """,
+        'stratified_sample_documents': """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 1000000000 ASC,
+                                    doc_id ASC) AS rn
+                FROM documents)
+            WHERE rn <= 5
         """,
         'topk_per_lang_documents': """
             SELECT lang, doc_id, n_chars FROM (

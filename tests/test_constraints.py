@@ -328,3 +328,41 @@ def test_grouped_topk_ascending_and_blocks(ray_session):
                        descending=[False, False]).to_pandas()
     got = sorted(map(tuple, out[['g', 'v']].itertuples(index=False)))
     assert got == [('a', 1), ('a', 2), ('b', 10), ('b', 20)]
+
+
+def test_deterministic_sample_stability(ray_session):
+    """Same membership across re-runs and block layouts; fraction is
+    approximately honored; null keys dropped."""
+    import pyarrow as pa
+    import ray.data
+    from python_fastjsonschema_ray.stages.sample import deterministic_sample
+    t = pa.table({'id': pa.array(list(range(2000)) + [None],
+                                 type=pa.int64())})
+    a = deterministic_sample(ray.data.from_arrow(t), 'id', 0.2) \
+        .to_pandas()['id'].tolist()
+    b = deterministic_sample(ray.data.from_arrow(t).repartition(7),
+                             'id', 0.2).to_pandas()['id'].tolist()
+    assert sorted(a) == sorted(b)
+    assert 0.15 < len(a) / 2000 < 0.25
+    assert None not in a
+    # Different salt => different membership.
+    c = deterministic_sample(ray.data.from_arrow(t), 'id', 0.2,
+                             salt=99).to_pandas()['id'].tolist()
+    assert sorted(c) != sorted(a)
+
+
+def test_stratified_sample_exact_counts(ray_session):
+    import pyarrow as pa
+    import ray.data
+    from python_fastjsonschema_ray.stages.sample import (
+        stratified_sample_exact)
+    t = pa.table({
+        'g': ['a'] * 50 + ['b'] * 3,
+        'id': pa.array(list(range(53)), type=pa.int64())})
+    out = stratified_sample_exact(
+        ray.data.from_arrow(t).repartition(4), ['g'], 'id', 5).to_pandas()
+    counts = out.groupby('g')['id'].count().to_dict()
+    assert counts == {'a': 5, 'b': 3}     # small group keeps all rows
+    out2 = stratified_sample_exact(
+        ray.data.from_arrow(t).repartition(2), ['g'], 'id', 5).to_pandas()
+    assert sorted(out['id']) == sorted(out2['id'])   # layout-independent
