@@ -753,6 +753,19 @@ def q_embedding_near_dup(sf_dir: str):
     return _df_with_columns(out, ['id_a', 'id_b'])
 
 
+def q_infer_schema_documents(sf_dir: str):
+    """Schema inference (profile → draft JSON-Schema spec): one partial
+    pass per block, folded on the driver.  The profile rows are the
+    SQL-checkable surface; infer_table_spec wraps them into the spec
+    TableValidator consumes."""
+    from python_fastjsonschema_ray.pipelines.infer import profile_columns
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text', 'lang', 'n_chars'])
+    rows = profile_columns(ds)
+    return pd.DataFrame(rows, columns=['column', 'type', 'nullable',
+                                       'min', 'max', 'min_length',
+                                       'max_length'])
+
+
 def q_sample_documents(sf_dir: str):
     """Deterministic ~10% sample keyed on doc_id (Knuth multiplicative
     hash mod 1e6): same membership on every re-run/cluster layout, pure
@@ -985,6 +998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'join_lineitem_orders': q_join_lineitem_orders,
         'quantiles_lineitem': q_quantiles_lineitem,
         'topk_per_lang_documents': q_topk_per_lang_documents,
+        'infer_schema_documents': q_infer_schema_documents,
         'sample_documents': q_sample_documents,
         'stratified_sample_documents': q_stratified_sample_documents,
         'plugin_even_lineitem': q_plugin_even_lineitem,
@@ -1297,6 +1311,28 @@ def oracle_sql() -> dict[str, str]:
         'join_orders_customer': """
             SELECT o.o_orderkey, c.c_mktsegment
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        'infer_schema_documents': """
+            SELECT 'doc_id' AS column, 'integer' AS type,
+                   count(*) > count(doc_id) AS nullable,
+                   CAST(min(doc_id) AS DOUBLE) AS min,
+                   CAST(max(doc_id) AS DOUBLE) AS max,
+                   CAST(NULL AS BIGINT) AS min_length,
+                   CAST(NULL AS BIGINT) AS max_length
+            FROM documents
+            UNION ALL
+            SELECT 'text', 'string', count(*) > count(text),
+                   NULL, NULL, min(length(text)), max(length(text))
+            FROM documents
+            UNION ALL
+            SELECT 'lang', 'string', count(*) > count(lang),
+                   NULL, NULL, min(length(lang)), max(length(lang))
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', 'integer', count(*) > count(n_chars),
+                   CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),
+                   NULL, NULL
+            FROM documents
         """,
         'sample_documents': """
             SELECT doc_id FROM documents
