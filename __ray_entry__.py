@@ -753,6 +753,20 @@ def q_embedding_near_dup(sf_dir: str):
     return _df_with_columns(out, ['id_a', 'id_b'])
 
 
+def q_heavy_hitters_orders(sf_dir: str):
+    """Exact heavy hitters over o_orderstatus (>10% of rows): two
+    streaming passes (per-block candidate superset, then exact counts of
+    the broadcast candidates), zero shuffle."""
+    from python_fastjsonschema_ray.pipelines.constraints import heavy_hitters
+    ds = _read(sf_dir, 'orders', ['o_orderstatus'])
+    out = heavy_hitters(ds, 'o_orderstatus', 0.1)
+    df = out.to_pandas()
+    if df.empty:
+        return pd.DataFrame({'value': pd.Series(dtype='object'),
+                             'n': pd.Series(dtype='int64')})
+    return df
+
+
 def q_infer_schema_documents(sf_dir: str):
     """Schema inference (profile → draft JSON-Schema spec): one partial
     pass per block, folded on the driver.  The profile rows are the
@@ -998,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'join_lineitem_orders': q_join_lineitem_orders,
         'quantiles_lineitem': q_quantiles_lineitem,
         'topk_per_lang_documents': q_topk_per_lang_documents,
+        'heavy_hitters_orders': q_heavy_hitters_orders,
         'infer_schema_documents': q_infer_schema_documents,
         'sample_documents': q_sample_documents,
         'stratified_sample_documents': q_stratified_sample_documents,
@@ -1311,6 +1326,13 @@ def oracle_sql() -> dict[str, str]:
         'join_orders_customer': """
             SELECT o.o_orderkey, c.c_mktsegment
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        'heavy_hitters_orders': """
+            SELECT o_orderstatus AS value, count(*) AS n
+            FROM orders
+            WHERE o_orderstatus IS NOT NULL
+            GROUP BY o_orderstatus
+            HAVING count(*) > 0.1 * (SELECT count(*) FROM orders)
         """,
         'infer_schema_documents': """
             SELECT 'doc_id' AS column, 'integer' AS type,

@@ -628,6 +628,79 @@ def grouped_topk(ds, group_columns, order_columns, k, descending=None,
                                                   batch_format='pandas')
 
 
+def heavy_hitters(ds, column, fraction, concurrency=None):
+    """EXACT heavy hitters: every non-null value with count strictly
+    greater than ``fraction * n`` where n is the TOTAL row count (the
+    skew-detection primitive — feed the result to ``salted_group_agg``
+    / bucket salting before a grouped shuffle).
+
+    Two streaming passes, zero shuffle:
+
+    1. Per-block candidates: values whose BLOCK count exceeds
+       ``fraction`` of the block (vectorized ``value_counts``; ≤
+       1/fraction values per block).  Any global heavy hitter must clear
+       the block-relative threshold in at least one block (else its
+       total ≤ fraction·n), so the union of block candidates is a
+       superset of the answer.
+    2. Exact counts of the (tiny) candidate set: broadcast the
+       candidates, one vectorized is_in + value_counts partial per
+       block, fold on the driver, keep counts > fraction·n.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    kwargs = {'batch_format': 'pyarrow'}
+    if concurrency:
+        kwargs['concurrency'] = concurrency
+
+    def block_candidates(batch: pa.Table) -> pa.Table:
+        col = batch.column(column).combine_chunks().drop_null()
+        n = len(col)
+        if not n:
+            return pa.table({'value': col.slice(0, 0)})
+        vc = pc.value_counts(col)
+        counts = np.asarray(vc.field('counts'))
+        keep = counts > fraction * n
+        return pa.table({'value': vc.field('values').filter(pa.array(keep))})
+
+    cand_tables = [t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+                   for t in ray.get(
+                       ds.map_batches(block_candidates, **kwargs)
+                       .to_arrow_refs())]
+    candidates = [t.column('value') for t in cand_tables if t.num_rows]
+    if not candidates:
+        empty = pa.table({'value': pa.array([], pa.string()),
+                          'n': pa.array([], pa.int64())})
+        return empty
+    cand = pc.unique(pa.concat_arrays(
+        [c.combine_chunks() for c in candidates]))
+    n_total = ds.count()
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        col = batch.column(column).combine_chunks().drop_null()
+        hit = col.filter(pc.is_in(col, value_set=cand))
+        if not len(hit):
+            return pa.table({'value': cand.slice(0, 0),
+                             'partial_n': pa.array([], pa.int64())})
+        vc = pc.value_counts(hit)
+        return pa.table({'value': vc.field('values'),
+                         'partial_n': vc.field('counts').cast(pa.int64())})
+
+    totals = {}
+    for t in ray.get(ds.map_batches(exact_counts, **kwargs)
+                     .to_arrow_refs()):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t)
+        for v, c in zip(t.column('value').to_pylist(),
+                        t.column('partial_n').to_pylist()):
+            totals[v] = totals.get(v, 0) + int(c)
+    rows = sorted(((v, c) for v, c in totals.items()
+                   if c > fraction * n_total),
+                  key=lambda x: (-x[1], str(x[0])))
+    return pa.table({'value': pa.array([v for v, _ in rows]),
+                     'n': pa.array([c for _, c in rows], pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # Distribution drift (PSI / KS against a reference profile)
 

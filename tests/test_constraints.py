@@ -366,3 +366,22 @@ def test_stratified_sample_exact_counts(ray_session):
     out2 = stratified_sample_exact(
         ray.data.from_arrow(t).repartition(2), ['g'], 'id', 5).to_pandas()
     assert sorted(out['id']) == sorted(out2['id'])   # layout-independent
+
+
+def test_heavy_hitters_exact(ray_session):
+    """Superset candidates + exact recount: values straddling the
+    threshold across blocks are neither missed nor over-reported."""
+    import pyarrow as pa
+    import ray.data
+    from python_fastjsonschema_ray.pipelines.constraints import heavy_hitters
+    # 'a': 40%, 'b': 25%, rest unique (each block individually has
+    # different local proportions thanks to interleaving).
+    vals = (['a'] * 40 + ['b'] * 25 + ['u%d' % i for i in range(35)])
+    ds = ray.data.from_arrow(pa.table({'c': vals})).repartition(5)
+    out = heavy_hitters(ds, 'c', 0.2).to_pandas()
+    assert list(zip(out['value'], out['n'])) == [('a', 40), ('b', 25)]
+    out2 = heavy_hitters(ds, 'c', 0.5).to_pandas()
+    assert len(out2) == 0
+    # Threshold exactly equal to a count is NOT a hit (strict >).
+    out3 = heavy_hitters(ds, 'c', 0.4).to_pandas()
+    assert list(out3['value']) == []
