@@ -879,7 +879,9 @@ def q_components_orders(sf_dir: str):
     from python_fastjsonschema_ray.stages.components import (
         connected_components)
     ds = _read(sf_dir, 'orders', ['o_orderkey', 'o_custkey'])
-    bucketed = ds.map_batches(
+    # Two id columns per row: coalesce the many parquet split-blocks
+    # before the bucket shuffle (sort fixed cost is task-count-driven).
+    bucketed = ds.repartition(_default_buckets() // 8 or 1).map_batches(
         _AddKeyBucket(['o_custkey'], _default_buckets()),
         batch_format='pyarrow')
 
