@@ -753,6 +753,19 @@ def q_embedding_near_dup(sf_dir: str):
     return _df_with_columns(out, ['id_a', 'id_b'])
 
 
+def q_packing_plan_documents(sf_dir: str):
+    """Concat-then-chunk packing plan (LLM pretraining sequences of 2048
+    chars): each doc's (first sequence, offset, last sequence) from a
+    distributed prefix sum over doc_id order — the one documented
+    raw-ray-task scan (per-block sums -> driver prefix -> per-block
+    plans)."""
+    from python_fastjsonschema_ray.stages.pack import packing_plan
+    ds = _read(sf_dir, 'documents', ['doc_id', 'n_chars'])
+    out = packing_plan(ds, 'doc_id', 'n_chars', 2048)
+    return _df_with_columns(
+        out, ['id', 'seq_first', 'seq_offset', 'seq_last'])
+
+
 def q_heavy_hitters_orders(sf_dir: str):
     """Exact heavy hitters over o_orderstatus (>10% of rows): two
     streaming passes (per-block candidate superset, then exact counts of
@@ -1015,6 +1028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'quantiles_lineitem': q_quantiles_lineitem,
         'topk_per_lang_documents': q_topk_per_lang_documents,
         'heavy_hitters_orders': q_heavy_hitters_orders,
+        'packing_plan_documents': q_packing_plan_documents,
         'infer_schema_documents': q_infer_schema_documents,
         'sample_documents': q_sample_documents,
         'stratified_sample_documents': q_stratified_sample_documents,
@@ -1328,6 +1342,19 @@ def oracle_sql() -> dict[str, str]:
         'join_orders_customer': """
             SELECT o.o_orderkey, c.c_mktsegment
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        'packing_plan_documents': """
+            SELECT doc_id AS id,
+                   CAST(FLOOR((cum - n_chars) / 2048) AS BIGINT)
+                       AS seq_first,
+                   CAST((cum - n_chars) % 2048 AS BIGINT) AS seq_offset,
+                   CAST(FLOOR((cum - 1) / 2048) AS BIGINT) AS seq_last
+            FROM (
+                SELECT doc_id, n_chars,
+                       SUM(n_chars) OVER (
+                           ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+                FROM documents)
         """,
         'heavy_hitters_orders': """
             SELECT o_orderstatus AS value, count(*) AS n
