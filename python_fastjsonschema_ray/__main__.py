@@ -7,6 +7,8 @@ Subcommands:
   validate  --schema S --data D            → validate one JSON document
   run       --schema S --input GLOB --out DIR [--key COL]
                                            → resumable distributed validation
+  profile   --input GLOB [--columns ...]   → infer a draft JSON-Schema spec
+                                             from the data (profile → enforce)
   gen-images --rows N --out DIR            → synthesize the image+caption table
 
 ``run`` owns its Ray session (ray.init local) — suitable for
@@ -83,6 +85,22 @@ def cmd_run(args):
     ray.shutdown()
 
 
+def cmd_profile(args):
+    import ray
+    _ray_init()
+    import ray.data
+
+    from .pipelines.infer import infer_table_spec
+    files = sorted(glob.glob(args.input))
+    if not files:
+        print('no input files match {}'.format(args.input), file=sys.stderr)
+        sys.exit(2)
+    ds = ray.data.read_parquet(files)
+    spec = infer_table_spec(ds, columns=args.columns)
+    print(json.dumps(spec, indent=1, sort_keys=True))
+    ray.shutdown()
+
+
 def cmd_gen_images(args):
     import ray
     _ray_init()
@@ -112,6 +130,11 @@ def main(argv=None):
     p.add_argument('--out', required=True)
     p.add_argument('--key', default=None)
     p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser('profile')
+    p.add_argument('--input', required=True, help='glob of parquet shards')
+    p.add_argument('--columns', nargs='*', default=None)
+    p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser('gen-images')
     p.add_argument('--rows', type=int, default=10000)

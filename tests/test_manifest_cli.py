@@ -185,3 +185,30 @@ def test_violation_file_names_deterministic(ray_session, tmp_path):
                             if f.endswith('.parquet')))
     # Names are structured (task-derived), not uuids.
     assert all(n.startswith('task-') for n in names[0]), names[0]
+
+
+def test_cli_profile_then_enforce(ray_session, tmp_path):
+    """`profile` infers a spec the `run` subcommand can enforce."""
+    import pyarrow as pa
+    p = tmp_path / 'in.parquet'
+    pq.write_table(pa.table({
+        'id': pa.array([1, 2, 3], type=pa.int64()),
+        'name': pa.array(['aa', 'bb', 'ccc']),
+    }), p)
+    out = subprocess.run(
+        [sys.executable, '-m', 'python_fastjsonschema_ray', 'profile',
+         '--input', str(p)],
+        capture_output=True, text=True, cwd='/root/repo', check=True)
+    spec = json.loads(out.stdout)
+    assert spec['properties']['id'] == {
+        'type': 'integer', 'minimum': 1, 'maximum': 3}
+    assert spec['properties']['name']['maxLength'] == 3
+    spec_path = tmp_path / 'spec.json'
+    spec_path.write_text(json.dumps(spec))
+    run_out = subprocess.run(
+        [sys.executable, '-m', 'python_fastjsonschema_ray', 'run',
+         '--schema', str(spec_path), '--input', str(p),
+         '--out', str(tmp_path / 'out'), '--key', 'id'],
+        capture_output=True, text=True, cwd='/root/repo', check=True)
+    summary = json.loads(run_out.stdout)
+    assert summary['rows'] == 3 and summary['violations'] == 0
