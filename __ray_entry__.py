@@ -753,6 +753,16 @@ def q_embedding_near_dup(sf_dir: str):
     return _df_with_columns(out, ['id_a', 'id_b'])
 
 
+def q_distinct_count_part(sf_dir: str):
+    """Exact COUNT(DISTINCT) of a two-column key: per-block collapse,
+    bucketed fold, only per-bucket counts reach the driver."""
+    from python_fastjsonschema_ray.pipelines.constraints import (
+        distinct_count)
+    ds = _read(sf_dir, 'part', ['p_type', 'p_brand'])
+    n = distinct_count(ds, ['p_type', 'p_brand'])
+    return pd.DataFrame([{'n_distinct': n}])
+
+
 def q_packing_plan_documents(sf_dir: str):
     """Concat-then-chunk packing plan (LLM pretraining sequences of 2048
     chars): each doc's (first sequence, offset, last sequence) from a
@@ -1029,6 +1039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'topk_per_lang_documents': q_topk_per_lang_documents,
         'heavy_hitters_orders': q_heavy_hitters_orders,
         'packing_plan_documents': q_packing_plan_documents,
+        'distinct_count_part': q_distinct_count_part,
         'infer_schema_documents': q_infer_schema_documents,
         'sample_documents': q_sample_documents,
         'stratified_sample_documents': q_stratified_sample_documents,
@@ -1342,6 +1353,10 @@ def oracle_sql() -> dict[str, str]:
         'join_orders_customer': """
             SELECT o.o_orderkey, c.c_mktsegment
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        'distinct_count_part': """
+            SELECT count(DISTINCT (p_type, p_brand)) AS n_distinct
+            FROM part
         """,
         'packing_plan_documents': """
             SELECT doc_id AS id,

@@ -628,6 +628,39 @@ def grouped_topk(ds, group_columns, order_columns, k, descending=None,
                                                   batch_format='pandas')
 
 
+def distinct_count(ds, columns, concurrency=None, coalesce=True,
+                   num_buckets=None) -> int:
+    """EXACT distinct count of a key tuple (HyperLogLog in column_stats
+    is the approximate sibling).  Same shuffle discipline as
+    check_unique: per-block Arrow group_by collapses to ≤1 row per
+    local distinct key, the coarse-bucket fold counts pandas-unique per
+    bucket, and only the per-bucket counts reach the driver."""
+    import pandas as pd
+
+    columns = list(columns)
+    kwargs = {'batch_format': 'pyarrow'}
+    if concurrency:
+        kwargs['concurrency'] = concurrency
+
+    def local_distinct(batch: pa.Table) -> pa.Table:
+        return batch.select(columns).group_by(columns).aggregate([])
+
+    partials = ds.map_batches(local_distinct, **kwargs)
+    if coalesce:
+        partials = partials.repartition(_default_buckets() // 8 or 1)
+    bucketed = partials.map_batches(
+        _AddKeyBucket(columns, num_buckets or _default_buckets()),
+        batch_format='pyarrow')
+
+    def count_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        n = len(group[columns].drop_duplicates())
+        return pd.DataFrame({'n': [n]})
+
+    counts = bucketed.groupby('_bucket').map_groups(
+        count_bucket, batch_format='pandas')
+    return int(counts.sum('n') or 0)
+
+
 def heavy_hitters(ds, column, fraction, concurrency=None):
     """EXACT heavy hitters: every non-null value with count strictly
     greater than ``fraction * n`` where n is the TOTAL row count (the

@@ -385,3 +385,18 @@ def test_heavy_hitters_exact(ray_session):
     # Threshold exactly equal to a count is NOT a hit (strict >).
     out3 = heavy_hitters(ds, 'c', 0.4).to_pandas()
     assert list(out3['value']) == []
+
+
+def test_distinct_count_exact(ray_session, ddb):
+    import ray.data
+    from python_fastjsonschema_ray.pipelines.constraints import distinct_count
+    ds = ray.data.read_parquet(SF + '/lineitem.parquet',
+                               columns=['l_returnflag', 'l_linestatus'])
+    got = distinct_count(ds, ['l_returnflag', 'l_linestatus'])
+    exp = ddb.execute(
+        'SELECT count(DISTINCT (l_returnflag, l_linestatus)) '
+        'FROM lineitem').fetchone()[0]
+    assert got == exp
+    import pyarrow as pa
+    empty = ray.data.from_arrow(pa.table({'a': pa.array([], pa.int64())}))
+    assert distinct_count(empty, ['a']) == 0
