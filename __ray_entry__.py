@@ -753,6 +753,56 @@ def q_embedding_near_dup(sf_dir: str):
     return _df_with_columns(out, ['id_a', 'id_b'])
 
 
+def q_tfidf_top_terms_documents(sf_dir: str):
+    """Corpus TF-IDF, composed entirely from the engine's relational
+    operators: explode words (vectorized) → grouped_agg tf per
+    (doc, word) → grouped_agg df per word → broadcast_lookup_join →
+    grouped_topk(1 per doc).  Output: each doc's top term (score is
+    internal; tie-break word asc)."""
+    import numpy as np
+    from python_fastjsonschema_ray.pipelines.constraints import (
+        grouped_agg, grouped_topk)
+    from python_fastjsonschema_ray.stages.join import broadcast_lookup_join
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    n_docs = ds.count()
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        tok_lists = [t.lower().split() for t in batch['text'].fillna('')]
+        counts = np.fromiter(map(len, tok_lists), dtype=np.int64,
+                             count=len(tok_lists))
+        words = np.empty(int(counts.sum()), dtype=object)
+        pos = 0
+        for toks in tok_lists:
+            words[pos:pos + len(toks)] = toks
+            pos += len(toks)
+        return pd.DataFrame({
+            'doc_id': np.repeat(batch['doc_id'].to_numpy(), counts),
+            'word': words})
+
+    words = ds.map_batches(explode, batch_format='pandas')
+    tf = grouped_agg(words, ['doc_id', 'word'], {'tf': (None, 'count')},
+                     combine='bucket').materialize()
+    # (doc, word) pairs are unique after tf, so df = docs per word.
+    df = grouped_agg(tf, ['word'], {'df': (None, 'count')},
+                     combine='bucket')
+    df = df.map_batches(
+        lambda b: b.rename_columns(['w', 'df']), batch_format='pyarrow')
+    scored = broadcast_lookup_join(tf, 'word', df, 'w', ['df'])
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        batch['tfidf'] = batch['tf'] * np.log(
+            float(n_docs) / batch['df'].to_numpy(dtype=np.float64))
+        return batch
+
+    scored = scored.map_batches(score, batch_format='pandas')
+    top = grouped_topk(scored, ['doc_id'], ['tfidf', 'word'], 1,
+                       descending=[True, False])
+    out = top.map_batches(
+        lambda b: b[['doc_id', 'word']].rename(columns={'word': 'term'}),
+        batch_format='pandas')
+    return _df_with_columns(out, ['doc_id', 'term'])
+
+
 def q_distinct_count_part(sf_dir: str):
     """Exact COUNT(DISTINCT) of a two-column key: per-block collapse,
     bucketed fold, only per-bucket counts reach the driver."""
@@ -1040,6 +1090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'heavy_hitters_orders': q_heavy_hitters_orders,
         'packing_plan_documents': q_packing_plan_documents,
         'distinct_count_part': q_distinct_count_part,
+        'tfidf_top_terms_documents': q_tfidf_top_terms_documents,
         'infer_schema_documents': q_infer_schema_documents,
         'sample_documents': q_sample_documents,
         'stratified_sample_documents': q_stratified_sample_documents,
@@ -1357,6 +1408,34 @@ def oracle_sql() -> dict[str, str]:
         'distinct_count_part': """
             SELECT count(DISTINCT (p_type, p_brand)) AS n_distinct
             FROM part
+        """,
+        'tfidf_top_terms_documents': """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS word
+                FROM documents
+            ), tf AS (
+                SELECT doc_id, word, count(*) AS tf
+                FROM words GROUP BY doc_id, word
+            ), df AS (
+                SELECT word, count(*) AS df
+                FROM (SELECT DISTINCT doc_id, word FROM words)
+                GROUP BY word
+            ), scored AS (
+                SELECT tf.doc_id, tf.word,
+                       tf.tf * ln(CAST((SELECT count(*) FROM documents)
+                                       AS DOUBLE) / df.df) AS tfidf
+                FROM tf JOIN df USING (word)
+            )
+            SELECT doc_id, word AS term FROM (
+                SELECT doc_id, word,
+                       row_number() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY tfidf DESC, word ASC) AS rn
+                FROM scored)
+            WHERE rn <= 1
         """,
         'packing_plan_documents': """
             SELECT doc_id AS id,
