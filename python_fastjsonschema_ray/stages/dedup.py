@@ -710,15 +710,23 @@ class SimHashStage:
 
 
 def simhash_buckets(ds, id_column, text_column, *, concurrency=None):
-    """Groups of documents sharing an identical 64-bit SimHash."""
+    """Groups of documents sharing an identical 64-bit SimHash.
+
+    Signatures are near-unique per document, so a raw
+    ``groupby('simhash')`` would be a per-distinct-key sort-aggregate
+    (~0.5 ms/group).  Instead the duplicate count reuses the
+    check_unique shape: per-batch value_counts partials, then a
+    coarse-bucket fold — ≤1 row per distinct signature per block ever
+    shuffles."""
+    from ..pipelines.constraints import check_unique
+
     kwargs = {'batch_format': 'pandas'}
     if concurrency:
         kwargs['concurrency'] = concurrency
-    from ray.data.aggregate import Count
     sigs = ds.select_columns([id_column, text_column]).map_batches(
         SimHashStage(id_column, text_column), **kwargs)
-    counts = sigs.groupby('simhash').aggregate(Count(alias_name='n'))
-    return sigs, counts.filter(expr='n > 1')
+    dup_sigs = check_unique(sigs.select_columns(['simhash']), ['simhash'])
+    return sigs, dup_sigs
 
 
 # ---------------------------------------------------------------------------
