@@ -98,25 +98,56 @@ def sliding_window_agg(ds, ts_column, key_column, value_column, window_s,
         Sum('partial_sum', alias_name='sum_value'))
 
 
-def session_windows(ds, ts_column, key_column, gap_s, concurrency=None):
-    """Session windows (gap-based): per-key sorted scan inside map_groups.
-    Returns (key, session_start, session_end, n).  Partitioning assumption:
-    groupby co-locates each key's full history in one group."""
+def session_windows(ds, ts_column, key_column, gap_s, concurrency=None,
+                    num_buckets=None):
+    """Session windows (gap-based).  Returns
+    (key, session_start, session_end, n).
+
+    Keys are high-cardinality (users), so a raw ``groupby(key)`` would
+    pay the per-distinct-key sort-aggregate cost; instead each key's
+    full history co-locates on a COARSE hash bucket of the key and ALL
+    keys in a bucket sessionize in one vectorized pass: sort by
+    (key, ts), session breaks where the key changes or the gap is
+    exceeded, one reduceat-free segment fold.  Partitioning assumption
+    (documented): one key's events fit one bucket group — true whenever
+    per-key history fits a worker, the same bound the per-key variant
+    had."""
+    from ..pipelines.constraints import _AddKeyBucket, _default_buckets
+
     gap_us = int(gap_s * 1_000_000)
 
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(ts_column)
+        g = group.sort_values([key_column, ts_column])
         # Unit-robust: normalize whatever datetime64 unit pandas delivered
         # to microseconds (Arrow timestamp[us] epoch).
         ts = g[ts_column].to_numpy().astype('datetime64[us]').astype('int64')
-        breaks = np.nonzero(np.diff(ts) > gap_us)[0] + 1
-        starts = np.concatenate([[0], breaks])
-        ends = np.concatenate([breaks, [len(ts)]])
+        keys = g[key_column].to_numpy()
+        if not len(ts):
+            return pd.DataFrame({key_column: keys[:0],
+                                 'session_start': ts[:0],
+                                 'session_end': ts[:0],
+                                 'n': np.array([], dtype=np.int64)})
+        new_key = np.empty(len(ts), dtype=bool)
+        new_key[0] = True
+        new_key[1:] = keys[1:] != keys[:-1]
+        gap_break = np.empty(len(ts), dtype=bool)
+        gap_break[0] = False
+        gap_break[1:] = np.diff(ts) > gap_us
+        starts = np.flatnonzero(new_key | gap_break)
+        ends = np.concatenate([starts[1:], [len(ts)]])
         return pd.DataFrame({
-            key_column: [g[key_column].iloc[0]] * len(starts),
+            key_column: keys[starts],
             'session_start': ts[starts],
             'session_end': ts[ends - 1],
             'n': ends - starts,
         })
 
-    return ds.groupby(key_column).map_groups(sessions, batch_format='pandas')
+    bucketed = ds.map_batches(
+        _AddKeyBucket([key_column], num_buckets or _default_buckets()),
+        batch_format='pyarrow')
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return sessions(group.drop(columns=['_bucket']))
+
+    return bucketed.groupby('_bucket').map_groups(
+        per_bucket, batch_format='pandas')
