@@ -703,6 +703,17 @@ def q_dedup_minhash_documents(sf_dir: str):
     return kept.select_columns(['doc_id'])
 
 
+def q_dedup_minhash_transitive_documents(sf_dir: str):
+    """Cluster-level near-dup removal: connected components of the pair
+    graph collapse to their min id (a~b~c keeps only a); rows-only for
+    the same banding-recall reason as the pairwise variant."""
+    from python_fastjsonschema_ray.stages.dedup import dedup_minhash
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    kept = dedup_minhash(ds, 'doc_id', 'text', threshold=0.8,
+                         transitive=True)
+    return kept.select_columns(['doc_id'])
+
+
 def q_langid_documents(sf_dir: str):
     from python_fastjsonschema_ray.stages.text import LangIdStage
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
@@ -1101,6 +1112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'simhash_documents': q_simhash_documents,
         'minhash_pairs_documents': q_minhash_pairs_documents,
         'dedup_minhash_documents': q_dedup_minhash_documents,
+        'dedup_minhash_transitive_documents':
+            q_dedup_minhash_transitive_documents,
         'hamming_near_dup_documents': q_hamming_near_dup_documents,
         'drift_lineitem': q_drift_lineitem,
         'image_flagship': q_image_flagship,
