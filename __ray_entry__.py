@@ -558,6 +558,32 @@ def q_sliding_events(sf_dir: str):
     return out.map_batches(round_sum, batch_format='pandas')
 
 
+def q_ann_ivf_partitioned_topk(sf_dir: str):
+    """The IVF SCALE path end-to-end: write the tagged table
+    hive-partitioned by cluster, then probe by reading ONLY the matching
+    cluster directories (I/O ∝ nprobe/nlist).  nprobe == nlist reads
+    everything, so the result must equal exact brute force — DuckDB-
+    checkable like ann_ivf_topk."""
+    import shutil
+    import tempfile
+    from python_fastjsonschema_ray.stages.ann import (
+        build_ivf, topk_cosine_ivf_partitioned, write_ivf_partitioned)
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    tagged, centroids = build_ivf(ds, 'embedding', nlist=8)
+    out_dir = tempfile.mkdtemp(prefix='ivf_part_', dir='/tmp')
+    try:
+        write_ivf_partitioned(tagged, out_dir)
+        df = topk_cosine_ivf_partitioned(
+            out_dir, centroids, 'vec_id', 'embedding',
+            np.asarray(_ANN_QUERY), k=10, nprobe=8)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return pd.DataFrame({
+        'vec_id': df['vec_id'].astype('int64'),
+        'sim': df['sim'].round(4),
+    })
+
+
 def q_ann_ivf_topk(sf_dir: str):
     """IVF probe with nprobe == nlist (all clusters): must equal the exact
     brute-force top-k, making the IVF path DuckDB-checkable."""
@@ -1085,6 +1111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # engine-category evidence (SURVEY §2.5 + north-rule additions):
         'sliding_events': q_sliding_events,
         'ann_ivf_topk': q_ann_ivf_topk,
+        'ann_ivf_partitioned_topk': q_ann_ivf_partitioned_topk,
         'referential_bloom_orders': q_referential_bloom_orders,
         'referential_large_orders': q_referential_large_orders,
         'salted_group_events': q_salted_group_events,
@@ -1348,6 +1375,13 @@ def oracle_sql() -> dict[str, str]:
             FROM expanded GROUP BY 1, 2
         """,
         'ann_ivf_topk': """
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(embedding, {q}), 4) AS sim
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding, {q}) DESC, vec_id
+            LIMIT 10
+        """.format(q=ann_query),
+        'ann_ivf_partitioned_topk': """
             SELECT vec_id,
                    ROUND(list_cosine_similarity(embedding, {q}), 4) AS sim
             FROM embeddings
