@@ -272,7 +272,7 @@ def _bucket_col(arr, num_buckets) -> pa.Array:
 def minhash_duplicate_pairs(ds, id_column, text_column, *, threshold=0.8,
                             num_perm=128, bands=16, shingle_k=5,
                             concurrency=None, num_buckets=None,
-                            broadcast_text_limit=1 << 30):
+                            broadcast_text_limit=1 << 30, coalesce=True):
     """Near-duplicate pairs via MinHash-LSH: returns a Dataset of
     (id_a, id_b, jaccard) with id_a < id_b and exact shingle-Jaccard ≥
     threshold.
@@ -309,6 +309,14 @@ def minhash_duplicate_pairs(ds, id_column, text_column, *, threshold=0.8,
         kwargs['concurrency'] = concurrency
     banded = ds.select_columns([id_column, text_column]).map_batches(
         stage, **kwargs)
+    if coalesce:
+        # The band triples are tiny ((id, band, band_hash) x bands rows per
+        # doc) while the LSH groupby's sort fixed cost is TASK-count-driven:
+        # merge the many signature blocks to ~cpus/4 before the shuffle.
+        # Disable at extreme corpus scale where a coalesced block would
+        # exceed the target block size.
+        from ..pipelines.constraints import _default_buckets
+        banded = banded.repartition(_default_buckets() // 8 or 1)
 
     def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
         # One group = one whole band (32 groups total): bucket by band_hash
