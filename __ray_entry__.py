@@ -778,6 +778,24 @@ def q_minhash_pairs_documents(sf_dir: str):
     return minhash_duplicate_pairs(ds, 'doc_id', 'text', threshold=0.8)
 
 
+def q_ngram_jaccard_documents(sf_dir: str):
+    """EXACT character-5-gram Jaccard near-dup pairs at >= 0.8 via
+    AllPairs/PPJoin prefix filtering (stages/dedup.py:ngram_jaccard_pairs)
+    — unlike the minhash query this one is oracle-checkable: DuckDB can
+    compute the same exact Jaccard by exploding distinct substrings."""
+    import ray
+    import ray.data
+    from python_fastjsonschema_ray.stages.dedup import ngram_jaccard_pairs
+    import pyarrow.parquet as pq
+    n_blocks = max(8, int(ray.cluster_resources().get('CPU', 8)))
+    path = '{}/documents.parquet'.format(sf_dir)
+    full = pq.read_schema(path).remove_metadata()
+    clean = pa.schema([full.field(c) for c in ['doc_id', 'text']])
+    ds = ray.data.read_parquet(path, columns=['doc_id', 'text'],
+                               schema=clean, override_num_blocks=n_blocks)
+    return ngram_jaccard_pairs(ds, 'doc_id', 'text', threshold=0.8)
+
+
 def q_embedding_near_dup(sf_dir: str):
     """Hyperplane-LSH embedding near-dup at cosine >= 0.999; exact in-
     bucket verification means no false pairs, and at this threshold the
@@ -1118,6 +1136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'violation_examples_lineitem': q_violation_examples_lineitem,
         'histogram_lineitem': q_histogram_lineitem,
         'drift_groups_lineitem': q_drift_groups_lineitem,
+        'ngram_jaccard_documents': q_ngram_jaccard_documents,
         'embedding_near_dup': q_embedding_near_dup,
         'embedding_components': q_embedding_components,
         'components_orders': q_components_orders,
@@ -1424,6 +1443,27 @@ def oracle_sql() -> dict[str, str]:
         'plugin_even_lineitem': """
             SELECT CAST(l_orderkey AS VARCHAR) AS key
             FROM lineitem WHERE l_quantity % 2 <> 0
+        """,
+        'ngram_jaccard_documents': """
+            WITH g AS (
+                SELECT doc_id, lower(text) AS t,
+                       unnest(generate_series(
+                           1, greatest(length(text) - 4, 1))) AS i
+                FROM documents
+            ), s AS (
+                SELECT DISTINCT doc_id, substr(t, i, 5) AS sh FROM g
+            ), n AS (
+                SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id
+            ), i2 AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+                FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i2.id_a, i2.id_b,
+                   c * 1.0 / (na.n + nb.n - c) AS jaccard
+            FROM i2, n na, n nb
+            WHERE na.doc_id = i2.id_a AND nb.doc_id = i2.id_b
+              AND c * 1.0 / (na.n + nb.n - c) >= 0.8
         """,
         'embedding_near_dup': """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b

@@ -296,12 +296,6 @@ def minhash_duplicate_pairs(ds, id_column, text_column, *, threshold=0.8,
     this default changed from bands=32/r=4 (which had ~100% recall at
     s=0.8 exactly); recall-sensitive small corpora can pass bands=32
     explicitly to restore it."""
-    import ray
-    import ray.data
-
-    if num_buckets is None:
-        num_buckets = max(
-            32, 2 * int(ray.cluster_resources().get('CPU', 8)))
     stage = MinHashBandStage(id_column, text_column, num_perm, bands,
                              shingle_k, carry_text=False)
     kwargs = {'batch_format': 'pandas'}
@@ -352,6 +346,34 @@ def minhash_duplicate_pairs(ds, id_column, text_column, *, threshold=0.8,
     # (the id semi-join and the co-group join).  Blocks stay in the object
     # store; the driver holds refs only.
     pairs_m = candidate_pairs.materialize()
+    return _verify_candidate_pairs(
+        ds, pairs_m, id_column, text_column, threshold=threshold,
+        shingle_k=shingle_k, num_buckets=num_buckets,
+        broadcast_text_limit=broadcast_text_limit)
+
+
+def _verify_candidate_pairs(ds, pairs_m, id_column, text_column, *,
+                            threshold, shingle_k, num_buckets,
+                            broadcast_text_limit):
+    """Exact-Jaccard verification of a materialized candidate-pair set
+    against the corpus ``ds``: returns (id_a, id_b, jaccard) for the
+    candidates whose exact shingle Jaccard ≥ ``threshold``.
+
+    Shared tail of every near-dup candidate generator (MinHash-LSH
+    banding, AllPairs prefix filtering): candidate texts are selected by
+    an object-store-broadcast id semi-join (ids only — never texts —
+    touch the driver, and only as ObjectRefs), then either verified in
+    one broadcast map_batches (small candidate sets, gated by
+    ``broadcast_text_limit``) or joined to the pairs with two
+    hash-bucketed co-groups (by id_a, then id_b) so the exchanges move
+    candidate pairs + candidate texts only — both proportional to the
+    dup rate, not the corpus."""
+    import ray
+    import ray.data
+
+    if num_buckets is None:
+        num_buckets = max(
+            32, 2 * int(ray.cluster_resources().get('CPU', 8)))
     # The authoritative id type comes from a non-empty pairs block (empty
     # blocks from pandas map_groups carry a fake float64 schema; a
     # pandas-backed input Dataset reports numpy dtypes, not Arrow types).
@@ -422,10 +444,27 @@ def minhash_duplicate_pairs(ds, id_column, text_column, *, threshold=0.8,
                 'id_b': batch.column('id_b').combine_chunks().cast(id_type),
             }).group_by(['id_a', 'id_b']).aggregate([])
 
-        # One block for the cross-band dedup (pair set is gate-small),
-        # then spread verification back over the pool.
-        unique_pairs = pairs_m.repartition(1).map_batches(
-            dedup_pairs, batch_format='pyarrow')
+        if pairs_m.count() <= 1_000_000:
+            # One block for the cross-generator dedup (pair set small),
+            # then spread verification back over the pool.
+            unique_pairs = pairs_m.repartition(1).map_batches(
+                dedup_pairs, batch_format='pyarrow')
+        else:
+            # Large candidate sets (prefix filtering on low-entropy
+            # corpora): dedup distributed — bucket by id_a (all copies
+            # of a pair share id_a, so per-bucket dedup is global) and
+            # collapse each bucket with one Arrow group_by.
+            def add_pair_bucket(batch: pa.Table) -> pa.Table:
+                t = dedup_pairs(batch)    # per-block pre-dedup + cast
+                return t.append_column(
+                    '_bucket', _bucket_col(t.column('id_a'), num_buckets))
+
+            unique_pairs = pairs_m.map_batches(
+                add_pair_bucket, batch_format='pyarrow') \
+                .groupby('_bucket').map_groups(
+                    lambda g: g.select(['id_a', 'id_b'])
+                    .group_by(['id_a', 'id_b']).aggregate([]),
+                    batch_format='pyarrow')
 
         def broadcast_verify(batch: pa.Table) -> pa.Table:
             text_of, cache = _textmap_from_refs(text_refs, id_column,
@@ -448,7 +487,11 @@ def minhash_duplicate_pairs(ds, id_column, text_column, *, threshold=0.8,
                 sim = inter / union if union else 1.0
                 if sim >= threshold:
                     keep.append(i)
-                    out_j.append(round(sim, 6))
+                    # raw double, not rounded: int/int division is
+                    # bit-identical to any SQL oracle computing the same
+                    # ratio, while pre-rounding can diverge from the
+                    # oracle at exact .5e-6 ties (banker's vs half-away)
+                    out_j.append(sim)
             taken = batch.take(pa.array(keep, type=pa.int64()))
             return pa.table({'id_a': taken.column('id_a'),
                              'id_b': taken.column('id_b'),
@@ -557,13 +600,172 @@ def minhash_duplicate_pairs(ds, id_column, text_column, *, threshold=0.8,
             sim = inter / union if union else 1.0
             if sim >= threshold:
                 keep.append(i)
-                out_j.append(round(sim, 6))
+                out_j.append(sim)      # raw double — see broadcast_verify
         taken = p.take(pa.array(keep, type=pa.int64()))
         return pa.table({'id_a': taken.column('id_a'),
                          'id_b': taken.column('id_b'),
                          'jaccard': pa.array(out_j, type=pa.float64())})
 
     return phase2.groupby('_bucket').map_groups(verify, batch_format='pyarrow')
+
+
+class ShingleExplodeStage:
+    """doc → one row per DISTINCT shingle hash: (id, sh, n) where ``n`` is
+    the document's distinct-shingle count, carried on every row so no
+    later size join is needed.  Fully batch-vectorized: one rolling-hash
+    pass over the batch's concatenated bytes (``_batch_shingle_hashes``),
+    then per-document distinct via a single lexsort + run mask."""
+
+    def __init__(self, id_column, text_column, shingle_k=5):
+        self.id_column = id_column
+        self.text_column = text_column
+        self.k = shingle_k
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        texts = batch[self.text_column].fillna('').tolist()
+        ids = batch[self.id_column].to_numpy()
+        hashes, seg_starts = _batch_shingle_hashes(texts, self.k)
+        total = len(hashes)
+        if total == 0:
+            return pd.DataFrame({self.id_column: ids[:0],
+                                 'sh': np.array([], dtype=np.int64),
+                                 'n': np.array([], dtype=np.int64)})
+        counts = np.diff(np.append(seg_starts, total))
+        doc_idx = np.repeat(np.arange(len(texts)), counts)
+        # int64 view: same distinctness as uint64, SIMD-fast sort path.
+        h = hashes.view(np.int64)
+        order = np.lexsort((h, doc_idx))
+        hs, dxs = h[order], doc_idx[order]
+        first = np.empty(total, dtype=bool)
+        first[0] = True
+        first[1:] = (hs[1:] != hs[:-1]) | (dxs[1:] != dxs[:-1])
+        hs, dxs = hs[first], dxs[first]
+        n_per_doc = np.bincount(dxs, minlength=len(texts))
+        return pd.DataFrame({self.id_column: ids[dxs],
+                             'sh': hs,
+                             'n': n_per_doc[dxs].astype(np.int64)})
+
+
+def ngram_jaccard_pairs(ds, id_column, text_column, *, threshold=0.8,
+                        shingle_k=5, num_buckets=None, concurrency=None,
+                        coalesce=True, broadcast_text_limit=1 << 30):
+    """EXACT character-n-gram Jaccard near-duplicate pairs: every
+    (id_a, id_b, jaccard) with id_a < id_b and distinct-shingle Jaccard
+    ≥ ``threshold`` — no LSH approximation, exact recall.
+
+    Candidate generation is AllPairs/PPJoin-style prefix filtering
+    (Bayardo, Ma & Srikant WWW'07; Xiao et al. WWW'08): under ANY global
+    total order on shingles, two sets with J ≥ t must share one of their
+    first ``|X| - ceil(t·|X|) + 1`` shingles (the smallest common shingle
+    sits inside both prefixes by pigeonhole), so only that ~(1-t)
+    fraction of each document is indexed.  Ordering shingles by
+    ascending document frequency keeps stop-shingles — which every
+    document shares — OUT of every prefix: candidate volume stays ∝ the
+    near-dup rate instead of the full O(Σ df²) inverted-index blowup.
+
+    Three hash-bucketed exchanges, each moving (id, shingle-hash) tuples
+    only — never text: (1) per-shingle document frequency (all rows of a
+    shingle co-locate in its bucket, so df is a local group size), (2)
+    per-document prefix selection (sort by the global (df, sh) order,
+    keep the first p), (3) prefix-token pair generation.  Exact
+    verification reuses the distributed broadcast/co-group tail shared
+    with ``minhash_duplicate_pairs``.  Cost grows with (1-t): below
+    t≈0.5 prefixes stop excluding much — use MinHash-LSH there.
+    """
+    import ray
+
+    if num_buckets is None:
+        num_buckets = max(
+            32, 2 * int(ray.cluster_resources().get('CPU', 8)))
+    kwargs = {'batch_format': 'pandas'}
+    if concurrency:
+        kwargs['concurrency'] = concurrency
+    exploded = ds.select_columns([id_column, text_column]).map_batches(
+        ShingleExplodeStage(id_column, text_column, shingle_k), **kwargs)
+    if coalesce:
+        # Sort-shuffle fixed cost is task-count-driven; merge the many
+        # explode blocks before the first bucket groupby.
+        from ..pipelines.constraints import _default_buckets
+        exploded = exploded.repartition(_default_buckets() // 8 or 1)
+
+    def add_sh_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            '_bucket', _bucket_col(batch.column('sh'), num_buckets))
+
+    def with_df(group: pd.DataFrame) -> pd.DataFrame:
+        out = group[[id_column, 'sh', 'n']].copy()
+        out['df'] = group.groupby('sh', sort=False)['sh'] \
+            .transform('size').to_numpy()
+        return out
+
+    withdf = exploded.map_batches(add_sh_bucket, batch_format='pyarrow') \
+        .groupby('_bucket').map_groups(with_df, batch_format='pandas')
+
+    def add_id_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            '_bucket', _bucket_col(batch.column(id_column), num_buckets))
+
+    def prefixes(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values([id_column, 'df', 'sh'])
+        rank = g.groupby(id_column, sort=False).cumcount().to_numpy()
+        n = g['n'].to_numpy()
+        # ceil with a tiny slack DOWN so float error can only ENLARGE
+        # the prefix (larger stays correct; smaller would lose pairs).
+        p = n - np.ceil(threshold * n - 1e-9).astype(np.int64) + 1
+        out = g.loc[rank < p, [id_column, 'sh', 'n']].copy()
+        out['rank'] = rank[rank < p]
+        return out
+
+    prefix_rows = withdf.map_batches(add_id_bucket, batch_format='pyarrow') \
+        .groupby('_bucket').map_groups(prefixes, batch_format='pandas')
+
+    def token_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # One group = one bucket of prefix tokens: runs of equal sh give
+        # each token's posting list; emit its C(n,2) id pairs, pruned by
+        # the PPJoin length filter (min(n) ≥ t·max(n)) and position
+        # filter (overlap upper bound min(nA-rA, nB-rB) + min(rA, rB)
+        # must reach α = ceil(t/(1+t)·(nA+nB))) — both sound for every
+        # shared token, so no true pair is lost.
+        g = group.sort_values(['sh', id_column])
+        shs = g['sh'].to_numpy()
+        ids = g[id_column].to_numpy()
+        ns = g['n'].to_numpy()
+        rs = g['rank'].to_numpy()
+        boundaries = np.nonzero(shs[1:] != shs[:-1])[0] + 1
+        starts = np.concatenate([[0], boundaries])
+        ends = np.concatenate([boundaries, [len(shs)]])
+        out_a, out_b = [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            m = e - s
+            ii, jj = np.triu_indices(m, k=1)
+            na, nb = ns[s:e][ii], ns[s:e][jj]
+            ra, rb = rs[s:e][ii], rs[s:e][jj]
+            alpha = np.ceil(
+                threshold / (1 + threshold) * (na + nb) - 1e-9)
+            keep = (
+                (np.minimum(na, nb) >=
+                 threshold * np.maximum(na, nb) - 1e-9)
+                & (np.minimum(na - ra, nb - rb)
+                   + np.minimum(ra, rb) >= alpha))
+            if keep.any():
+                out_a.append(ids[s:e][ii[keep]])
+                out_b.append(ids[s:e][jj[keep]])
+        if not out_a:
+            empty = pd.Series([], dtype=ids.dtype)
+            return pd.DataFrame({'id_a': empty, 'id_b': empty})
+        return pd.DataFrame({'id_a': np.concatenate(out_a),
+                             'id_b': np.concatenate(out_b)})
+
+    candidate_pairs = prefix_rows.map_batches(
+        add_sh_bucket, batch_format='pyarrow') \
+        .groupby('_bucket').map_groups(token_pairs, batch_format='pandas')
+    pairs_m = candidate_pairs.materialize()
+    return _verify_candidate_pairs(
+        ds, pairs_m, id_column, text_column, threshold=threshold,
+        shingle_k=shingle_k, num_buckets=num_buckets,
+        broadcast_text_limit=broadcast_text_limit)
 
 
 def dedup_minhash(ds, id_column, text_column, transitive=False, **kwargs):

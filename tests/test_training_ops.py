@@ -113,6 +113,64 @@ def test_minhash_cogroup_path_matches_broadcast(ray_session, docs):
     assert len(fast) >= 6
 
 
+def test_shingle_explode_distinct_counts():
+    from python_fastjsonschema_ray.stages.dedup import (
+        ShingleExplodeStage, _shingle_hashes)
+    df = pd.DataFrame({
+        'doc_id': [1, 2, 3],
+        'text': ['abcdefabcdefabcdef', 'hello world hello world', 'xy']})
+    out = ShingleExplodeStage('doc_id', 'text')(df)
+    for d, t in zip(df['doc_id'], df['text']):
+        exp = np.sort(_shingle_hashes(t).view(np.int64))
+        sub = out[out['doc_id'] == d]
+        assert np.array_equal(np.sort(sub['sh'].to_numpy()), exp)
+        assert (sub['n'] == len(exp)).all()
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(ray_session, docs):
+    """Prefix filtering (AllPairs/PPJoin length + position filters) is
+    EXACT: the output must equal brute-force shingle Jaccard over ALL
+    pairs — perfect recall AND precision, unlike the LSH path."""
+    import ray.data
+    from python_fastjsonschema_ray.stages.dedup import (
+        jaccard, ngram_jaccard_pairs)
+    df = docs.to_pandas().head(120)
+    texts = dict(zip(df['doc_id'], df['text']))
+    ids = sorted(texts)
+    truth = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            sim = jaccard(texts[ids[i]], texts[ids[j]])
+            if sim >= 0.8:
+                truth[(ids[i], ids[j])] = round(sim, 6)
+    pairs = ngram_jaccard_pairs(
+        ray.data.from_pandas(df), 'doc_id', 'text', threshold=0.8).take_all()
+    found = {(p['id_a'], p['id_b']): round(p['jaccard'], 6) for p in pairs}
+    assert found == truth
+
+
+def test_ngram_jaccard_cogroup_path_matches_broadcast(ray_session, docs):
+    """broadcast_text_limit=0 forces the bucketed co-group verify; the
+    pair set must equal the broadcast fast path's (incl. planted dups)."""
+    import ray.data
+    from python_fastjsonschema_ray.stages.dedup import ngram_jaccard_pairs
+    df = docs.to_pandas().head(60).copy()
+    clones = df.head(6).copy()
+    clones['doc_id'] = clones['doc_id'] + 100000
+    clones['text'] = clones['text'] + ' tail'
+    both = pd.concat([df, clones], ignore_index=True)
+    fast = ngram_jaccard_pairs(
+        ray.data.from_pandas(both), 'doc_id', 'text',
+        threshold=0.8).take_all()
+    slow = ngram_jaccard_pairs(
+        ray.data.from_pandas(both), 'doc_id', 'text',
+        threshold=0.8, broadcast_text_limit=0).take_all()
+    key = lambda p: (p['id_a'], p['id_b'], round(p['jaccard'], 6))
+    assert sorted(map(key, fast)) == sorted(map(key, slow))
+    planted = {(d, d + 100000) for d in clones['doc_id'] - 100000}
+    assert planted <= {(p['id_a'], p['id_b']) for p in fast}
+
+
 def test_dedup_minhash_removes_losers(ray_session, docs):
     import ray.data
     from python_fastjsonschema_ray.stages.dedup import dedup_minhash
