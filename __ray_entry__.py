@@ -977,6 +977,33 @@ def q_join_lineitem_orders(sf_dir: str):
         out, ['l_orderkey', 'l_quantity', 'o_orderstatus'])
 
 
+def q_asof_join_events_orders(sf_dir: str):
+    """Per-key AS-OF join (temporal enrichment): each event, given a
+    deterministic derived timestamp inside the orders' date range,
+    matched to the MOST RECENT order of its user at or before that
+    instant.  One coarse bucket exchange on the by-key, vectorized
+    ``pandas.merge_asof`` per bucket (stages/join.py:asof_join); ties
+    on the order date resolve to the greatest order key, matching the
+    oracle's ROW_NUMBER window."""
+    from python_fastjsonschema_ray.stages.join import asof_join
+    events = _read(sf_dir, 'events', ['event_id', 'user_id'])
+
+    def derive_ts(b: pd.DataFrame) -> pd.DataFrame:
+        b['ats'] = (pd.Timestamp('1995-01-01') +
+                    pd.to_timedelta(b['event_id'] % 2557, unit='D'))
+        return b
+
+    events = events.map_batches(derive_ts, batch_format='pandas')
+    orders = _read(sf_dir, 'orders',
+                   ['o_orderkey', 'o_custkey', 'o_orderdate',
+                    'o_totalprice'])
+    out = asof_join(events, orders, 'ats', 'o_orderdate',
+                    'user_id', 'o_custkey',
+                    ['o_orderkey', 'o_totalprice'],
+                    tiebreak=['o_orderkey'], how='inner')
+    return _df_with_columns(out, ['event_id', 'o_orderkey', 'o_totalprice'])
+
+
 def q_embedding_components(sf_dir: str):
     """Connected components (transitive near-dup clusters) over the
     embedding near-dup pair graph — each id maps to the min id of its
@@ -1142,6 +1169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'components_orders': q_components_orders,
         'join_orders_customer': q_join_orders_customer,
         'join_lineitem_orders': q_join_lineitem_orders,
+        'asof_join_events_orders': q_asof_join_events_orders,
         'quantiles_lineitem': q_quantiles_lineitem,
         'topk_per_lang_documents': q_topk_per_lang_documents,
         'heavy_hitters_orders': q_heavy_hitters_orders,
@@ -1603,6 +1631,23 @@ def oracle_sql() -> dict[str, str]:
         'join_lineitem_orders': """
             SELECT l.l_orderkey, l.l_quantity, o.o_orderstatus
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        """,
+        'asof_join_events_orders': """
+            WITH e AS (
+                SELECT event_id, user_id,
+                       TIMESTAMP '1995-01-01'
+                         + (event_id % 2557) * INTERVAL 1 DAY AS ats
+                FROM events
+            ), p AS (
+                SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.event_id
+                           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+                       ) AS rn
+                FROM e JOIN orders o
+                  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ats
+            )
+            SELECT event_id, o_orderkey, o_totalprice FROM p WHERE rn = 1
         """,
         'components_orders': """
             WITH RECURSIVE nxt AS (

@@ -180,3 +180,150 @@ def shuffle_join(left, right, left_key, right_key, right_columns,
 
     return lt.union(rt).groupby('_bucket').map_groups(
         merge, batch_format='pyarrow')
+
+
+def asof_join(left, right, left_on, right_on, left_by, right_by,
+              right_columns, *, direction='backward', tolerance=None,
+              how='left', tiebreak=None, num_buckets=None):
+    """Per-key as-of join: match each left row to the single right row of
+    the same by-key whose ``right_on`` is nearest ``left_on`` in the given
+    ``direction`` ('backward' = greatest right_on <= left_on, 'forward' =
+    smallest >= , 'nearest').
+
+    The reference has no temporal operators; this is the standard
+    enrichment step for event streams (attach the most recent dimension
+    state as of each event's timestamp).
+
+    Semantics/determinism:
+
+    * Ties on ``right_on`` within a by-key are deterministic: the right
+      side is stable-sorted by ``[right_on] + tiebreak`` (default
+      tiebreak: ``right_columns`` order), so 'backward' picks the
+      GREATEST tiebreak among equal ``right_on`` (the SQL window
+      ``ROW_NUMBER() OVER (PARTITION BY ... ORDER BY right_on DESC,
+      tiebreak DESC) = 1`` shape) and 'forward' the LEAST.
+    * ``how='left'`` keeps unmatched left rows with null enrichment
+      columns; ``'inner'`` drops them.  Null by-keys / null ``left_on``
+      never match (SQL convention).
+    * ``tolerance`` bounds the time gap: seconds when ``left_on`` is a
+      timestamp, same units as the column otherwise.
+
+    Scale: both sides exchange ONCE on a coarse hash bucket of the
+    by-key (all rows of a key co-locate; ~4x-CPUs Ray groups keep the
+    sort-aggregate overhead off the per-key cardinality).  Each bucket
+    runs one vectorized ``pandas.merge_asof`` over time-sorted sides —
+    O(n log n) per bucket, no per-key Python.  Skewed by-keys
+    concentrate in one bucket; salt upstream if one key dominates."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..pipelines.constraints import _AddKeyBucket, _default_buckets
+
+    if how not in ('inner', 'left'):
+        raise ValueError("how must be 'inner' or 'left'")
+    if direction not in ('backward', 'forward', 'nearest'):
+        raise ValueError("direction must be backward|forward|nearest")
+    num_buckets = num_buckets or _default_buckets()
+    right_columns = list(right_columns)
+    tiebreak = list(tiebreak if tiebreak is not None else right_columns)
+
+    left_schema = left.schema()
+    left_names = list(left_schema.names)
+    overlap = set(right_columns) & set(left_names)
+    if overlap:
+        raise ValueError(
+            'right-side columns {} collide with left column names; rename '
+            'before joining'.format(sorted(overlap)))
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    right_schema = right.schema()
+    right_types = dict(zip(right_schema.names, right_schema.types))
+    right_need = list(dict.fromkeys(
+        [right_on, right_by] + right_columns + tiebreak))
+    # Internal names for the right on/by so they never collide with left
+    # columns (pandas merge_asof suffixing would be name-dependent).
+    R_ON, R_BY = '__r_on', '__r_by'
+    union_names = left_names + ['_side', R_ON, R_BY] + right_columns
+    pad_types = dict(left_types)
+    pad_types[R_ON] = right_types[right_on]
+    pad_types[R_BY] = right_types[right_by]
+    for c in right_columns:
+        pad_types.setdefault(c, right_types[c])
+
+    out_fields = [pa.field(n, left_types[n]) for n in left_names] + \
+        [pa.field(c, right_types[c]) for c in right_columns]
+    out_schema = pa.schema(out_fields)
+
+    tol = tolerance
+    if tol is not None and pa.types.is_timestamp(right_types[right_on]):
+        tol = pd.Timedelta(seconds=tolerance)
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        b = b.append_column('_side', pa.array(['L'] * b.num_rows))
+        for c in [R_ON, R_BY] + right_columns:
+            b = b.append_column(c, pa.nulls(b.num_rows, type=pad_types[c]))
+        return b.select(union_names)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        cols = {R_ON: b.column(right_on), R_BY: b.column(right_by)}
+        for c in right_columns:
+            cols[c] = b.column(c)
+        t = pa.table(cols)
+        t = t.append_column('_side', pa.array(['R'] * t.num_rows))
+        for c in left_names:
+            t = t.append_column(c, pa.nulls(t.num_rows, type=pad_types[c]))
+        return t.select(union_names)
+
+    lt = left.map_batches(tag_left, batch_format='pyarrow').map_batches(
+        _AddKeyBucket([left_by], num_buckets), batch_format='pyarrow')
+    rt = right.select_columns(right_need).map_batches(
+        tag_right, batch_format='pyarrow').map_batches(
+        _AddKeyBucket([R_BY], num_buckets), batch_format='pyarrow')
+
+    def merge(group: pa.Table) -> pa.Table:
+        # Arrow-filter each side BEFORE pandas: padded null columns are
+        # selected away per side, so int64 keys never see the other
+        # side's nulls and degrade to float64.
+        is_l = pc.equal(group.column('_side'), 'L')
+        l = group.filter(is_l).select(left_names)
+        r = group.filter(pc.invert(is_l)).select(
+            [R_ON, R_BY] + right_columns)
+        r = r.filter(pc.and_kleene(pc.is_valid(r.column(R_ON)),
+                                   pc.is_valid(r.column(R_BY))))
+        lhs = l.to_pandas()
+        rhs = r.to_pandas()
+        # Rows whose on/by is null can never match; route them per `how`.
+        match_ok = lhs[left_on].notna() & lhs[left_by].notna()
+        lhs_null = lhs[~match_ok]
+        lhs_v = lhs[match_ok].sort_values(left_on, kind='mergesort')
+        if len(rhs):
+            # A left block that carried null keys converts to float64 in
+            # pandas even after the nulls are filtered; re-align key
+            # dtypes (merge_asof requires exact matches).
+            for lc, rc in ((left_on, R_ON), (left_by, R_BY)):
+                if lhs_v[lc].dtype != rhs[rc].dtype:
+                    try:
+                        lhs_v[lc] = lhs_v[lc].astype(rhs[rc].dtype)
+                    except (TypeError, ValueError):
+                        rhs[rc] = rhs[rc].astype(lhs_v[lc].dtype)
+            # Stable-sorted so that within equal R_ON the LAST row (the
+            # one merge_asof's backward search picks) carries the
+            # greatest tiebreak.
+            rhs = rhs.sort_values([R_ON] + tiebreak, kind='mergesort')
+            out = pd.merge_asof(
+                lhs_v, rhs, left_on=left_on, right_on=R_ON,
+                left_by=left_by, right_by=R_BY,
+                direction=direction, tolerance=tol)
+        else:
+            out = lhs_v.copy()
+            for c in [R_ON, R_BY] + right_columns:
+                out[c] = None
+        if how == 'inner':
+            out = out[out[R_ON].notna()]
+        else:
+            out = pd.concat([out, lhs_null], ignore_index=True, sort=False)
+        out = out[left_names + right_columns]
+        return pa.Table.from_pandas(out, schema=out_schema,
+                                    preserve_index=False)
+
+    return lt.union(rt).groupby('_bucket').map_groups(
+        merge, batch_format='pyarrow')

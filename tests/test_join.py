@@ -12,7 +12,7 @@ SF = '/root/testdata/sf0.001'
 @pytest.fixture(scope='module')
 def ddb():
     con = duckdb.connect()
-    for t in ('orders', 'customer', 'lineitem'):
+    for t in ('orders', 'customer', 'lineitem', 'events'):
         con.execute(
             "CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
             .format(t=t, sf=SF))
@@ -106,6 +106,128 @@ def test_shuffle_join_duplicates_and_nulls(ray_session):
     got = sorted(map(tuple, out[['k', 'lv', 'rv']].itertuples(index=False)))
     assert got == [(1, 'x', 'p'), (1, 'x', 'q'), (1, 'y', 'p'),
                    (1, 'y', 'q')]
+
+
+def _asof_fixture(ray):
+    """Synthetic frames exercising ties, null keys, missing by-keys."""
+    left = ray.data.from_arrow(pa.table({
+        'id': pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        'ts': pa.array([5, 1, None, 5, 7, 3], type=pa.int64()),
+        'k': pa.array(['A', 'A', 'A', None, 'B', 'C'])})).repartition(2)
+    right = ray.data.from_arrow(pa.table({
+        'rts': pa.array([2, 4, 7, 7, 9], type=pa.int64()),
+        'rk': pa.array(['A', 'A', 'B', 'B', 'A']),
+        'v': pa.array([10, 20, 1, 2, 30], type=pa.int64())})).repartition(2)
+    return left, right
+
+
+def test_asof_join_backward_semantics(ray_session):
+    import ray
+    from python_fastjsonschema_ray.stages.join import asof_join
+    left, right = _asof_fixture(ray)
+    out = asof_join(left, right, 'ts', 'rts', 'k', 'rk', ['v'],
+                    how='left').to_pandas()
+    by_id = {r.id: r.v for r in out.itertuples(index=False)}
+    assert len(out) == 6
+    assert by_id[1] == 20          # greatest rts <= 5 is 4 -> v=20
+    assert by_id[5] == 2           # tie at rts=7: greatest tiebreak wins
+    import pandas as pd
+    for missing in (2, 3, 4, 6):   # before-all / null-on / null-by / no-key
+        assert pd.isna(by_id[missing])
+    inner = asof_join(left, right, 'ts', 'rts', 'k', 'rk', ['v'],
+                      how='inner').to_pandas()
+    assert sorted(inner['id']) == [1, 5]
+    assert str(inner['v'].dtype) == 'int64'
+
+
+def test_asof_join_forward_and_tolerance(ray_session):
+    import ray
+    import pandas as pd
+    from python_fastjsonschema_ray.stages.join import asof_join
+    left, right = _asof_fixture(ray)
+    fwd = asof_join(left, right, 'ts', 'rts', 'k', 'rk', ['v'],
+                    direction='forward', how='left').to_pandas()
+    by_id = {r.id: r.v for r in fwd.itertuples(index=False)}
+    assert by_id[1] == 30          # smallest rts >= 5 is 9
+    assert by_id[2] == 10          # forward from 1 -> rts=2
+    assert by_id[5] == 1           # tie at rts=7 forward: least tiebreak
+    assert pd.isna(by_id[6])
+    tol = asof_join(left, right, 'ts', 'rts', 'k', 'rk', ['v'],
+                    tolerance=1, how='inner').to_pandas()
+    by_id = {r.id: r.v for r in tol.itertuples(index=False)}
+    # backward with |gap| <= 1: id1 (5-4=1) and id5 (7-7=0) survive
+    assert sorted(by_id) == [1, 5] and by_id[1] == 20
+
+
+def test_asof_join_empty_right(ray_session):
+    import ray
+    import pandas as pd
+    from python_fastjsonschema_ray.stages.join import asof_join
+    left, _ = _asof_fixture(ray)
+    right = ray.data.from_arrow(pa.table({
+        'rts': pa.array([], type=pa.int64()),
+        'rk': pa.array([], type=pa.string()),
+        'v': pa.array([], type=pa.int64())}))
+    out = asof_join(left, right, 'ts', 'rts', 'k', 'rk', ['v'],
+                    how='left').to_pandas()
+    assert len(out) == 6 and out['v'].isna().all()
+    assert asof_join(left, right, 'ts', 'rts', 'k', 'rk', ['v'],
+                     how='inner').count() == 0
+
+
+def test_asof_join_vs_duckdb(ray_session, ddb):
+    """Timestamp as-of on testdata: each event (with a deterministic
+    derived timestamp inside the orders' date range) matched to the most
+    recent order of its user, vs the DuckDB window oracle."""
+    import ray.data
+    import pandas as pd
+    from python_fastjsonschema_ray.stages.join import asof_join
+
+    events = ray.data.read_parquet(SF + '/events.parquet',
+                                   columns=['event_id', 'user_id'])
+
+    def derive_ts(b):
+        b['ats'] = (pd.Timestamp('1995-01-01') +
+                    pd.to_timedelta(b['event_id'] % 2557, unit='D'))
+        return b
+
+    events = events.map_batches(derive_ts, batch_format='pandas')
+    orders = ray.data.read_parquet(
+        SF + '/orders.parquet',
+        columns=['o_orderkey', 'o_custkey', 'o_orderdate', 'o_totalprice'])
+    out = asof_join(events, orders, 'ats', 'o_orderdate',
+                    'user_id', 'o_custkey',
+                    ['o_orderkey', 'o_totalprice'],
+                    tiebreak=['o_orderkey'], how='inner').to_pandas()
+    exp = ddb.execute("""
+        WITH e AS (
+          SELECT event_id, user_id,
+                 TIMESTAMP '1995-01-01'
+                   + (event_id % 2557) * INTERVAL 1 DAY AS ats
+          FROM events),
+        p AS (
+          SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM e JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ats)
+        SELECT event_id, o_orderkey, o_totalprice FROM p WHERE rn = 1
+    """).df()
+    cols = ['event_id', 'o_orderkey', 'o_totalprice']
+    assert _norm(out, cols) == _norm(exp, cols)
+    assert str(out['o_orderkey'].dtype) == 'int64'
+
+
+def test_asof_join_collision_guard(ray_session):
+    import ray
+    from python_fastjsonschema_ray.stages.join import asof_join
+    left, right = _asof_fixture(ray)
+    bad = right.map_batches(
+        lambda b: b.rename_columns(['rts', 'rk', 'ts']),
+        batch_format='pyarrow')
+    with pytest.raises(ValueError, match='collide'):
+        asof_join(left, bad, 'ts', 'rts', 'k', 'rk', ['ts'])
 
 
 def test_shuffle_join_collision_guard(ray_session):
