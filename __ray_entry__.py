@@ -1004,6 +1004,37 @@ def q_asof_join_events_orders(sf_dir: str):
     return _df_with_columns(out, ['event_id', 'o_orderkey', 'o_totalprice'])
 
 
+def q_interval_join_events_orders(sf_dir: str):
+    """Keyed RANGE join: every (event, order-window) pair where the
+    event's derived timestamp falls in the order's 30-day window and the
+    user matches — SQL inner-join multiplicity over overlapping
+    intervals.  The interval side broadcasts once as object-store refs;
+    per batch one vectorized merge + boundary mask, no shuffle
+    (stages/join.py:broadcast_interval_join)."""
+    from python_fastjsonschema_ray.stages.join import (
+        broadcast_interval_join)
+    events = _read(sf_dir, 'events', ['event_id', 'user_id'])
+
+    def derive_ts(b: pd.DataFrame) -> pd.DataFrame:
+        b['ats'] = (pd.Timestamp('1995-01-01') +
+                    pd.to_timedelta(b['event_id'] % 2557, unit='D'))
+        return b
+
+    events = events.map_batches(derive_ts, batch_format='pandas')
+    orders = _read(sf_dir, 'orders',
+                   ['o_orderkey', 'o_custkey', 'o_orderdate'])
+
+    def add_end(b: pd.DataFrame) -> pd.DataFrame:
+        b['o_end'] = b['o_orderdate'] + pd.Timedelta(days=30)
+        return b
+
+    iv = orders.map_batches(add_end, batch_format='pandas')
+    out = broadcast_interval_join(
+        events, 'ats', iv, 'o_orderdate', 'o_end', ['o_orderkey'],
+        key='user_id', interval_key='o_custkey')
+    return _df_with_columns(out, ['event_id', 'o_orderkey'])
+
+
 def q_embedding_components(sf_dir: str):
     """Connected components (transitive near-dup clusters) over the
     embedding near-dup pair graph — each id maps to the min id of its
@@ -1170,6 +1201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'join_orders_customer': q_join_orders_customer,
         'join_lineitem_orders': q_join_lineitem_orders,
         'asof_join_events_orders': q_asof_join_events_orders,
+        'interval_join_events_orders': q_interval_join_events_orders,
         'quantiles_lineitem': q_quantiles_lineitem,
         'topk_per_lang_documents': q_topk_per_lang_documents,
         'heavy_hitters_orders': q_heavy_hitters_orders,
@@ -1648,6 +1680,19 @@ def oracle_sql() -> dict[str, str]:
                   ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ats
             )
             SELECT event_id, o_orderkey, o_totalprice FROM p WHERE rn = 1
+        """,
+        'interval_join_events_orders': """
+            WITH e AS (
+                SELECT event_id, user_id,
+                       TIMESTAMP '1995-01-01'
+                         + (event_id % 2557) * INTERVAL 1 DAY AS ats
+                FROM events
+            )
+            SELECT e.event_id, o.o_orderkey
+            FROM e JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND e.ats >= o.o_orderdate
+             AND e.ats < o.o_orderdate + INTERVAL 30 DAY
         """,
         'components_orders': """
             WITH RECURSIVE nxt AS (

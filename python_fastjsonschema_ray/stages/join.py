@@ -182,6 +182,120 @@ def shuffle_join(left, right, left_key, right_key, right_columns,
         merge, batch_format='pyarrow')
 
 
+def broadcast_interval_join(ds, point_column, intervals, start_column,
+                            end_column, interval_columns, *, key=None,
+                            interval_key=None, closed='left', how='inner'):
+    """Range join: match each row of ``ds`` to every interval
+    ``[start_column, end_column)`` that contains ``ds[point_column]``
+    (plus an optional equi-key), SQL inner-join multiplicity — a row in
+    k overlapping intervals emits k output rows.
+
+    ``closed`` picks the boundary convention: 'left' = [start, end),
+    'both' = [start, end], 'right' = (start, end], 'neither'.
+    ``how='left'`` keeps unmatched (and null-key/null-point) rows with
+    null interval columns.
+
+    Scale: the interval side ships ONCE as object-store refs (never
+    through the driver heap) and each worker materializes it a single
+    time; per batch the match is one vectorized pandas merge (equi-key
+    when ``key`` is given, else cross) + boundary mask — no shuffle.
+    Right for interval sides that fit a worker's heap; the keyless
+    variant materializes |batch| x |intervals| candidates per batch, so
+    keep it for small interval sets (calendars, campaign windows) and
+    prefer the keyed form at scale."""
+    import pandas as pd
+    import ray
+
+    from .dedup import _worker_cached
+
+    if how not in ('inner', 'left'):
+        raise ValueError("how must be 'inner' or 'left'")
+    closed_ops = {'left': ('ge', 'lt'), 'both': ('ge', 'le'),
+                  'right': ('gt', 'le'), 'neither': ('gt', 'lt')}
+    if closed not in closed_ops:
+        raise ValueError('closed must be one of {}'.format(
+            sorted(closed_ops)))
+    if (key is None) != (interval_key is None):
+        raise ValueError('key and interval_key must be given together')
+    interval_columns = list(interval_columns)
+
+    ds_schema = ds.schema()
+    left_names = list(ds_schema.names)
+    overlap = set(interval_columns) & set(left_names)
+    if overlap:
+        raise ValueError(
+            'interval columns {} collide with left column names; rename '
+            'before joining'.format(sorted(overlap)))
+    iv_schema = intervals.schema()
+    iv_types = dict(zip(iv_schema.names, iv_schema.types))
+    out_schema = pa.schema(
+        [pa.field(n, t) for n, t in zip(ds_schema.names, ds_schema.types)] +
+        [pa.field(c, iv_types[c]) for c in interval_columns])
+
+    I_START, I_END, I_KEY = '__i_start', '__i_end', '__i_key'
+    iv_need = list(dict.fromkeys(
+        [start_column, end_column] +
+        ([interval_key] if interval_key else []) + interval_columns))
+    refs = intervals.select_columns(iv_need).to_arrow_refs()
+    cache_token = ('interval_join',) + tuple(r.hex() for r in refs)
+
+    def build_intervals():
+        tables = [_as_arrow(t) for t in ray.get(list(refs))]
+        tables = [t for t in tables if t.num_rows]
+        if not tables:
+            return None
+        df = pa.concat_tables(tables).combine_chunks().to_pandas()
+        ren = {start_column: I_START, end_column: I_END}
+        if interval_key:
+            ren[interval_key] = I_KEY
+        # An interval column may double as the start/end/key column;
+        # keep the original too in that case.
+        for orig, internal in ren.items():
+            df[internal] = df[orig]
+        df = df[[I_START, I_END] + ([I_KEY] if interval_key else []) +
+                interval_columns]
+        df = df[df[I_START].notna() & df[I_END].notna()]
+        if interval_key:
+            df = df[df[I_KEY].notna()]
+        return df
+
+    lo_op, hi_op = closed_ops[closed]
+
+    def join(batch: pa.Table) -> pa.Table:
+        iv = _worker_cached(cache_token, build_intervals)
+        lhs = batch.to_pandas()
+        # Positional marker: keeps fully-duplicate left rows distinct in
+        # the left-join anti-match (merge resets the index).
+        lhs = lhs.copy()
+        lhs['__pos'] = range(len(lhs))
+        if iv is None or not len(lhs):
+            matched = lhs.iloc[:0].copy()
+            for c in interval_columns:
+                matched[c] = None
+        else:
+            usable = lhs[point_column].notna()
+            if key is not None:
+                usable &= lhs[key].notna()
+                cand = lhs[usable].merge(iv, left_on=key, right_on=I_KEY)
+            else:
+                cand = lhs[usable].merge(iv, how='cross')
+            lo = getattr(cand[point_column], lo_op)(cand[I_START])
+            hi = getattr(cand[point_column], hi_op)(cand[I_END])
+            matched = cand[lo & hi]
+        out = matched[left_names + interval_columns]
+        if how == 'left':
+            unmatched = lhs[~lhs['__pos'].isin(matched['__pos'])]
+            unmatched = unmatched[left_names].copy()
+            for c in interval_columns:
+                unmatched[c] = None
+            out = pd.concat([out, unmatched], ignore_index=True,
+                            sort=False)
+        return pa.Table.from_pandas(out, schema=out_schema,
+                                    preserve_index=False)
+
+    return ds.map_batches(join, batch_format='pyarrow')
+
+
 def asof_join(left, right, left_on, right_on, left_by, right_by,
               right_columns, *, direction='backward', tolerance=None,
               how='left', tiebreak=None, num_buckets=None):

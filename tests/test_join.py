@@ -219,6 +219,97 @@ def test_asof_join_vs_duckdb(ray_session, ddb):
     assert str(out['o_orderkey'].dtype) == 'int64'
 
 
+def test_interval_join_semantics(ray_session):
+    """Overlap multiplicity, boundary conventions, nulls, left join."""
+    import ray
+    import pandas as pd
+    from python_fastjsonschema_ray.stages.join import (
+        broadcast_interval_join)
+    left = ray.data.from_arrow(pa.table({
+        'id': pa.array([1, 2, 3, 4], type=pa.int64()),
+        'p': pa.array([5, 10, None, 25], type=pa.int64())})).repartition(2)
+    iv = ray.data.from_arrow(pa.table({
+        's': pa.array([0, 4, 10], type=pa.int64()),
+        'e': pa.array([10, 6, 20], type=pa.int64()),
+        'name': pa.array(['a', 'b', 'c'])}))
+    out = broadcast_interval_join(left, 'p', iv, 's', 'e',
+                                  ['name']).to_pandas()
+    got = sorted(map(tuple, out[['id', 'name']].itertuples(index=False)))
+    # closed='left': p=5 in [0,10) and [4,6); p=10 in [10,20) only;
+    # p=None and p=25 match nothing.
+    assert got == [(1, 'a'), (1, 'b'), (2, 'c')]
+    both = broadcast_interval_join(left, 'p', iv, 's', 'e', ['name'],
+                                   closed='both').to_pandas()
+    got = sorted(map(tuple, both[['id', 'name']].itertuples(index=False)))
+    assert got == [(1, 'a'), (1, 'b'), (2, 'a'), (2, 'c')]
+    lj = broadcast_interval_join(left, 'p', iv, 's', 'e', ['name'],
+                                 how='left').to_pandas()
+    assert len(lj) == 5            # 3 matches + unmatched ids 3, 4
+    null_ids = sorted(lj[lj['name'].isna()]['id'])
+    assert null_ids == [3, 4]
+
+
+def test_interval_join_keyed_vs_duckdb(ray_session, ddb):
+    """Keyed range join on testdata: events (derived timestamp) matched
+    to every 30-day order window of the same user, vs DuckDB."""
+    import ray.data
+    import pandas as pd
+    from python_fastjsonschema_ray.stages.join import (
+        broadcast_interval_join)
+
+    events = ray.data.read_parquet(SF + '/events.parquet',
+                                   columns=['event_id', 'user_id'])
+
+    def derive_ts(b):
+        b['ats'] = (pd.Timestamp('1995-01-01') +
+                    pd.to_timedelta(b['event_id'] % 2557, unit='D'))
+        return b
+
+    events = events.map_batches(derive_ts, batch_format='pandas')
+    orders = ray.data.read_parquet(
+        SF + '/orders.parquet',
+        columns=['o_orderkey', 'o_custkey', 'o_orderdate'])
+
+    def add_end(b):
+        b['o_end'] = b['o_orderdate'] + pd.Timedelta(days=30)
+        return b
+
+    iv = orders.map_batches(add_end, batch_format='pandas')
+    out = broadcast_interval_join(
+        events, 'ats', iv, 'o_orderdate', 'o_end', ['o_orderkey'],
+        key='user_id', interval_key='o_custkey').to_pandas()
+    exp = ddb.execute("""
+        WITH e AS (
+          SELECT event_id, user_id,
+                 TIMESTAMP '1995-01-01'
+                   + (event_id % 2557) * INTERVAL 1 DAY AS ats
+          FROM events)
+        SELECT e.event_id, o.o_orderkey
+        FROM e JOIN orders o
+          ON o.o_custkey = e.user_id
+         AND e.ats >= o.o_orderdate
+         AND e.ats < o.o_orderdate + INTERVAL 30 DAY
+    """).df()
+    cols = ['event_id', 'o_orderkey']
+    assert len(out) > 0
+    assert _norm(out, cols) == _norm(exp, cols)
+    assert str(out['o_orderkey'].dtype) == 'int64'
+
+
+def test_interval_join_guards(ray_session):
+    import ray
+    from python_fastjsonschema_ray.stages.join import (
+        broadcast_interval_join)
+    left = ray.data.from_arrow(pa.table({'p': pa.array([1], pa.int64())}))
+    iv = ray.data.from_arrow(pa.table({
+        's': pa.array([0], pa.int64()), 'e': pa.array([2], pa.int64()),
+        'p': pa.array([9], pa.int64())}))
+    with pytest.raises(ValueError, match='collide'):
+        broadcast_interval_join(left, 'p', iv, 's', 'e', ['p'])
+    with pytest.raises(ValueError, match='together'):
+        broadcast_interval_join(left, 'p', iv, 's', 'e', [], key='p')
+
+
 def test_asof_join_collision_guard(ray_session):
     import ray
     from python_fastjsonschema_ray.stages.join import asof_join
