@@ -977,6 +977,24 @@ def q_join_lineitem_orders(sf_dir: str):
         out, ['l_orderkey', 'l_quantity', 'o_orderstatus'])
 
 
+def q_grouped_quantiles_lineitem(sf_dir: str):
+    """Exact per-group discrete quantiles (median + p95 of extended
+    price per return flag): one (key, value) exchange on a coarse key
+    bucket, one vectorized sort+cumcount ranking pass per bucket
+    (stages/quantile.py:grouped_quantile)."""
+    from python_fastjsonschema_ray.stages.quantile import grouped_quantile
+    ds = _read(sf_dir, 'lineitem', ['l_returnflag', 'l_extendedprice'])
+    out = grouped_quantile(ds, ['l_returnflag'], 'l_extendedprice',
+                           [0.5, 0.95])
+
+    def round_val(batch: pd.DataFrame) -> pd.DataFrame:
+        batch['value'] = batch['value'].round(2)
+        return batch
+
+    out = out.map_batches(round_val, batch_format='pandas')
+    return _df_with_columns(out, ['l_returnflag', 'q', 'value'])
+
+
 def q_asof_join_events_orders(sf_dir: str):
     """Per-key AS-OF join (temporal enrichment): each event, given a
     deterministic derived timestamp inside the orders' date range,
@@ -1202,6 +1220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'join_lineitem_orders': q_join_lineitem_orders,
         'asof_join_events_orders': q_asof_join_events_orders,
         'interval_join_events_orders': q_interval_join_events_orders,
+        'grouped_quantiles_lineitem': q_grouped_quantiles_lineitem,
         'quantiles_lineitem': q_quantiles_lineitem,
         'topk_per_lang_documents': q_topk_per_lang_documents,
         'heavy_hitters_orders': q_heavy_hitters_orders,
@@ -1693,6 +1712,15 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_custkey = e.user_id
              AND e.ats >= o.o_orderdate
              AND e.ats < o.o_orderdate + INTERVAL 30 DAY
+        """,
+        'grouped_quantiles_lineitem': """
+            SELECT l_returnflag, 0.5 AS q,
+                   ROUND(quantile_disc(l_extendedprice, 0.5), 2) AS value
+            FROM lineitem GROUP BY l_returnflag
+            UNION ALL
+            SELECT l_returnflag, 0.95,
+                   ROUND(quantile_disc(l_extendedprice, 0.95), 2)
+            FROM lineitem GROUP BY l_returnflag
         """,
         'components_orders': """
             WITH RECURSIVE nxt AS (

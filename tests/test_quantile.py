@@ -78,3 +78,46 @@ def test_exact_quantile_vs_duckdb_testdata(ray_session):
         assert exact_quantile(ds, 'l_extendedprice', q,
                               collect_limit=100) == pytest.approx(
             float(exp), abs=0)
+
+
+def test_grouped_quantile_vs_duckdb(ray_session):
+    import duckdb
+    import ray.data
+    from python_fastjsonschema_ray.stages.quantile import grouped_quantile
+    sf = '/root/testdata/sf0.001'
+    ds = ray.data.read_parquet(sf + '/lineitem.parquet',
+                               columns=['l_returnflag', 'l_extendedprice'])
+    out = grouped_quantile(ds, ['l_returnflag'], 'l_extendedprice',
+                           [0.5, 0.95]).to_pandas()
+    con = duckdb.connect()
+    exp = con.execute("""
+        SELECT l_returnflag, 0.5 AS q,
+               quantile_disc(l_extendedprice, 0.5) AS value
+        FROM read_parquet('{sf}/lineitem.parquet') GROUP BY l_returnflag
+        UNION ALL
+        SELECT l_returnflag, 0.95, quantile_disc(l_extendedprice, 0.95)
+        FROM read_parquet('{sf}/lineitem.parquet') GROUP BY l_returnflag
+    """.format(sf=sf)).df()
+    got = sorted(map(tuple, out[['l_returnflag', 'q', 'value']]
+                     .itertuples(index=False)))
+    want = sorted((r.l_returnflag, float(r.q), r.value)
+                  for r in exp.itertuples(index=False))
+    assert got == want
+
+
+def test_grouped_quantile_null_and_singleton_groups(ray_session):
+    import pandas as pd
+    import ray.data
+    from python_fastjsonschema_ray.stages.quantile import grouped_quantile
+    ds = ray.data.from_arrow(pa.table({
+        'k': pa.array(['a', 'a', 'a', 'b', 'c', 'c', None]),
+        'v': pa.array([3.0, 1.0, 2.0, 9.0, None, None, 7.0],
+                      type=pa.float64())})).repartition(3)
+    out = grouped_quantile(ds, ['k'], 'v', [0.5]).to_pandas()
+    by_k = {(r.k if isinstance(r.k, str) else None): r.value
+            for r in out.itertuples(index=False)}
+    assert by_k['a'] == 2.0        # rank ceil(3*.5)-1 = 1 of [1,2,3]
+    assert by_k['b'] == 9.0        # singleton
+    assert pd.isna(by_k['c'])      # all-null group -> null quantile
+    assert by_k[None] == 7.0       # null key is its own SQL group
+    assert len(out) == 4
