@@ -706,6 +706,21 @@ def q_plugin_even_lineitem(sf_dir: str):
 # -- non-SQL-expressible operators (rows-only driver check) -----------------
 
 
+def q_video_frame_sample(sf_dir: str):
+    """Multimodal frame sampling: a deterministic synthetic V6 video
+    shard (sources/videos.py) → every 3rd frame sliced by offset from
+    the Arrow binary buffer, per-frame phash — one row per sampled
+    frame.  Rows-only (binary codecs are not SQL-expressible); per-frame
+    exactness is pinned by tests/test_videos.py against the
+    ground-truth generator."""
+    from python_fastjsonschema_ray.sources.videos import video_dataset
+    from python_fastjsonschema_ray.stages.decode import frame_sample
+    ds = video_dataset(200, seed=42, shard_rows=50)
+    out = frame_sample(ds, stride=3, concurrency=2, batch_size=16)
+    return _df_with_columns(
+        out, ['video_id', 'frame_idx', 'ts_s', 'w', 'h', 'phash'])
+
+
 def q_hamming_near_dup_documents(sf_dir: str):
     """SimHash signatures → 64-bit hamming near-dup pairs (pigeonhole
     banding, guaranteed recall at max_dist < bands); the SURVEY §2.5
@@ -1242,6 +1257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'hamming_near_dup_documents': q_hamming_near_dup_documents,
         'drift_lineitem': q_drift_lineitem,
         'image_flagship': q_image_flagship,
+        'video_frame_sample': q_video_frame_sample,
     }
 
 

@@ -265,3 +265,115 @@ def decode_check(ds, *, concurrency=None, batch_size=1024):
         concurrency = max(1, int(ray.cluster_resources().get('CPU', 2)) // 2)
     kwargs['concurrency'] = concurrency
     return ds.map_batches(DecodeCheckStage, **kwargs)
+
+
+class FrameSampleStage:
+    """Frame sampling over V6 video payloads (``sources/videos.py``):
+    every ``stride``-th frame up to ``max_frames``, one OUTPUT ROW PER
+    SAMPLED FRAME — (video_id, frame_idx, ts_s, w, h, phash[, bytes]).
+
+    Each frame is sliced from the batch's Arrow binary buffer by offset
+    (``as_buffer`` + ``np.frombuffer`` — zero-copy) so cost is
+    O(sampled frames), never O(video): the property that makes k-of-n
+    frame sampling cheap on a 100-TB corpus.  Malformed payloads emit a
+    single ``frame_idx = -1`` row with a null phash (visible, not
+    silently dropped); ``decode_check`` is the integrity stage proper.
+
+    Stateless per batch but shaped as a callable class for the actor
+    pool: real codecs hold per-actor handles in ``__init__``.  Video
+    payloads are large — size ``batch_size`` small (16-64) so
+    batch x concurrency fits worker heaps."""
+
+    def __init__(self, stride: int = 4, max_frames: int = None,
+                 emit_bytes: bool = False):
+        if stride < 1:
+            raise ValueError('stride must be >= 1')
+        self.stride = stride
+        self.max_frames = max_frames
+        self.emit_bytes = emit_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.videos import parse_video_header
+
+        col = batch.column('bytes').combine_chunks()
+        ids = batch.column('video_id').to_pylist()
+        out_id, out_idx, out_ts = [], [], []
+        out_w, out_h, out_ph, out_b = [], [], [], []
+        for i in range(batch.num_rows):
+            vid = ids[i]
+            if not col[i].is_valid:
+                out_id.append(vid); out_idx.append(-1); out_ts.append(None)
+                out_w.append(None); out_h.append(None); out_ph.append(None)
+                out_b.append(None)
+                continue
+            buf = col[i].as_buffer()          # zero-copy view
+            data = np.frombuffer(buf, dtype=np.uint8)
+            try:
+                w, h, n, fps, off = parse_video_header(
+                    data[:64].tobytes(), payload_len=len(data))
+            except ValueError:
+                out_id.append(vid); out_idx.append(-1); out_ts.append(None)
+                out_w.append(None); out_h.append(None); out_ph.append(None)
+                out_b.append(None)
+                continue
+            size = w * h * 3
+            idxs = range(0, n, self.stride)
+            if self.max_frames is not None:
+                idxs = list(idxs)[:self.max_frames]
+            for k in idxs:
+                frame = data[off + k * size: off + (k + 1) * size] \
+                    .reshape(h, w, 3)
+                out_id.append(vid)
+                out_idx.append(k)
+                out_ts.append(k / fps)
+                out_w.append(w)
+                out_h.append(h)
+                out_ph.append(average_phash(frame))
+                if self.emit_bytes:
+                    out_b.append(frame.tobytes())
+                else:
+                    out_b.append(None)
+        cols = {
+            'video_id': pa.array(out_id, type=pa.string()),
+            'frame_idx': pa.array(out_idx, type=pa.int32()),
+            'ts_s': pa.array(out_ts, type=pa.float64()),
+            'w': pa.array(out_w, type=pa.int32()),
+            'h': pa.array(out_h, type=pa.int32()),
+            'phash': pa.array(out_ph, type=pa.int64()),
+        }
+        if self.emit_bytes:
+            cols['bytes'] = pa.array(out_b, type=pa.binary())
+        return pa.table(cols)
+
+
+class ExternalVideoDecodeStage:
+    """Production seam for real containers (mp4/webm via pyav/ffmpeg) —
+    identical Ray surface to :class:`FrameSampleStage` (binary in, flat
+    frame rows out, actor pool, small batches); the codec libraries are
+    not installed in this sandbox.
+
+    STUB per FIXTURES.md: __call__ raises NotImplementedError.  Swap in
+    a per-actor pyav handle opened in ``__init__`` in production."""
+
+    def __init__(self):
+        self._codec = None      # would be: av.open / ffmpeg subprocess pool
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        raise NotImplementedError(
+            'real video codecs are unavailable in this environment; use '
+            'FrameSampleStage with the synthetic V6 codec')
+
+
+def frame_sample(ds, *, stride=4, max_frames=None, emit_bytes=False,
+                 concurrency=None, batch_size=32):
+    """Attach frame sampling as an actor-pool stage (small batches:
+    video payloads are large; decoded frames never leave the workers
+    unless ``emit_bytes``)."""
+    kwargs = {'batch_format': 'pyarrow', 'batch_size': batch_size}
+    if concurrency is None:
+        import ray
+        concurrency = max(1, int(ray.cluster_resources().get('CPU', 2)) // 2)
+    kwargs['concurrency'] = concurrency
+    return ds.map_batches(
+        FrameSampleStage(stride=stride, max_frames=max_frames,
+                         emit_bytes=emit_bytes), **kwargs)
