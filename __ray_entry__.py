@@ -721,6 +721,30 @@ def q_video_frame_sample(sf_dir: str):
         out, ['video_id', 'frame_idx', 'ts_s', 'w', 'h', 'phash'])
 
 
+def q_audio_features(sf_dir: str):
+    """Multimodal audio feature extraction: a deterministic synthetic A6
+    PCM shard (sources/audio.py) → per-clip frame-level features (RMS,
+    zero-crossing rate, clipping fraction, dominant frequency) via the
+    actor-pool stage (stages/audio.py).  Rows-only; per-clip exactness
+    is pinned by tests/test_audio.py against the ground-truth
+    generator."""
+    from python_fastjsonschema_ray.sources.audio import audio_dataset
+    from python_fastjsonschema_ray.stages.audio import audio_features
+    ds = audio_dataset(256, seed=42, shard_rows=64)
+    out = audio_features(ds, concurrency=2, batch_size=32)
+
+    def round_feats(batch: pd.DataFrame) -> pd.DataFrame:
+        for c in ('duration_s', 'rms_mean', 'rms_max', 'zcr_mean',
+                  'clip_frac', 'dominant_hz'):
+            batch[c] = batch[c].round(6)
+        return batch
+
+    out = out.map_batches(round_feats, batch_format='pandas')
+    return _df_with_columns(
+        out, ['audio_id', 'ok', 'duration_s', 'n_frames', 'rms_mean',
+              'rms_max', 'zcr_mean', 'clip_frac', 'dominant_hz'])
+
+
 def q_hamming_near_dup_documents(sf_dir: str):
     """SimHash signatures → 64-bit hamming near-dup pairs (pigeonhole
     banding, guaranteed recall at max_dist < bands); the SURVEY §2.5
@@ -1258,6 +1282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'drift_lineitem': q_drift_lineitem,
         'image_flagship': q_image_flagship,
         'video_frame_sample': q_video_frame_sample,
+        'audio_features': q_audio_features,
     }
 
 
