@@ -1092,6 +1092,41 @@ def q_interval_join_events_orders(sf_dir: str):
     return _df_with_columns(out, ['event_id', 'o_orderkey'])
 
 
+def q_cumsum_lineitem(sf_dir: str):
+    """Per-key ordered running scan (SQL window functions): row number
+    and running quantity sum per order, ordered by line number.  One
+    (key, order, value) exchange on a coarse key bucket, one vectorized
+    mergesort + segmented-cumsum pass per bucket — no per-group Python
+    (stages/scan.py:grouped_scan)."""
+    from python_fastjsonschema_ray.stages.scan import grouped_scan
+    # l_linenumber alone has ties in this synthetic data; the extra
+    # order columns make the scan order unique (verified at all SFs),
+    # exactly as a SQL window needs a deterministic ORDER BY.
+    order = ['l_linenumber', 'l_partkey', 'l_suppkey', 'l_extendedprice']
+    ds = _read(sf_dir, 'lineitem',
+               ['l_orderkey'] + order + ['l_quantity'])
+    out = grouped_scan(ds, ['l_orderkey'], order, 'l_quantity',
+                       ops=('row_number', 'cumsum'))
+    return _df_with_columns(
+        out, ['l_orderkey'] + order + ['l_quantity',
+              'row_number', 'cumsum'])
+
+
+def q_rolling_events(sf_dir: str):
+    """Per-user ordered event analytics: previous value (lag), delta,
+    and a 4-row rolling mean over each user's event stream ordered by
+    (ts, event_id).  ROWS-frame semantics; rolling sums come from a
+    segmented cumsum difference, exact to FP rounding
+    (stages/scan.py:grouped_scan)."""
+    from python_fastjsonschema_ray.stages.scan import grouped_scan
+    ds = _read(sf_dir, 'events', ['user_id', 'ts', 'event_id', 'value'])
+    out = grouped_scan(ds, ['user_id'], ['ts', 'event_id'], 'value',
+                       ops=('lag', 'delta', 'rolling_mean'), window=4)
+    return _df_with_columns(
+        out, ['user_id', 'ts', 'event_id', 'value',
+              'lag', 'delta', 'rolling_mean'])
+
+
 def q_embedding_components(sf_dir: str):
     """Connected components (transitive near-dup clusters) over the
     embedding near-dup pair graph — each id maps to the min id of its
@@ -1260,6 +1295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'asof_join_events_orders': q_asof_join_events_orders,
         'interval_join_events_orders': q_interval_join_events_orders,
         'grouped_quantiles_lineitem': q_grouped_quantiles_lineitem,
+        'cumsum_lineitem': q_cumsum_lineitem,
+        'rolling_events': q_rolling_events,
         'quantiles_lineitem': q_quantiles_lineitem,
         'topk_per_lang_documents': q_topk_per_lang_documents,
         'heavy_hitters_orders': q_heavy_hitters_orders,
@@ -1753,6 +1790,32 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_custkey = e.user_id
              AND e.ats >= o.o_orderdate
              AND e.ats < o.o_orderdate + INTERVAL 30 DAY
+        """,
+        'cumsum_lineitem': """
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   l_extendedprice, l_quantity,
+                   ROW_NUMBER() OVER w AS "row_number",
+                   CAST(SUM(l_quantity) OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                l_extendedprice
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) AS "cumsum"
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_orderkey
+                         ORDER BY l_linenumber, l_partkey, l_suppkey,
+                                  l_extendedprice)
+        """,
+        'rolling_events': """
+            SELECT user_id, ts, event_id, value,
+                   CAST(LAG(value) OVER w AS DOUBLE) AS "lag",
+                   CAST(value - LAG(value) OVER w AS DOUBLE) AS "delta",
+                   CAST(AVG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE) AS "rolling_mean"
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         'grouped_quantiles_lineitem': """
             SELECT l_returnflag, 0.5 AS q,
