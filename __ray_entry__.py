@@ -1127,6 +1127,27 @@ def q_rolling_events(sf_dir: str):
               'lag', 'delta', 'rolling_mean'])
 
 
+def q_kmeans_embeddings(sf_dir: str):
+    """Distributed Lloyd k-means over the embedding corpus (corpus
+    bucketing / semantic sharding).  Each iteration is one streaming
+    matmul pass emitting k x dim partials per block — no shuffle at
+    all; centroids broadcast via ray.put (stages/cluster.py).
+    Iterative, so rows-only: output is one row per cluster with its
+    size and centroid norm."""
+    from python_fastjsonschema_ray.stages.cluster import (
+        cluster_sizes, kmeans_assign, kmeans_fit)
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    k = 8
+    cents, info = kmeans_fit(ds, 'embedding', k, iters=5, seed=11)
+    tagged = kmeans_assign(ds, 'embedding', cents)
+    sizes = cluster_sizes(tagged, k)
+    return pd.DataFrame({
+        'cluster': np.arange(k, dtype=np.int64),
+        'n': sizes.astype(np.int64),
+        'centroid_norm': np.linalg.norm(cents, axis=1).round(4),
+    })
+
+
 def q_embedding_components(sf_dir: str):
     """Connected components (transitive near-dup clusters) over the
     embedding near-dup pair graph — each id maps to the min id of its
@@ -1296,6 +1317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'interval_join_events_orders': q_interval_join_events_orders,
         'grouped_quantiles_lineitem': q_grouped_quantiles_lineitem,
         'cumsum_lineitem': q_cumsum_lineitem,
+        'kmeans_embeddings': q_kmeans_embeddings,
         'rolling_events': q_rolling_events,
         'quantiles_lineitem': q_quantiles_lineitem,
         'topk_per_lang_documents': q_topk_per_lang_documents,
