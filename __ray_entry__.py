@@ -1148,6 +1148,40 @@ def q_kmeans_embeddings(sf_dir: str):
     })
 
 
+def q_pca_embeddings(sf_dir: str):
+    """Distributed PCA (embedding whitening / dimensionality audit):
+    one streaming moment pass — each block emits (n, sum, x^T x) —
+    then a driver-side dim x dim eigendecomposition; the projection is
+    one matmul per batch (stages/pca.py).  Eigendecomposition is not
+    SQL-expressible → rows-only: one row per component with its
+    explained-variance ratio and the projected corpus variance."""
+    from python_fastjsonschema_ray.stages.pca import pca_fit, pca_transform
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    comp, info = pca_fit(ds, 'embedding', 4)
+    proj = pca_transform(ds, 'embedding', comp, info['mean'])
+
+    def var_partial(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+        m = _np.asarray(batch.column('pca').combine_chunks().flatten(),
+                        dtype=_np.float64).reshape(batch.num_rows, -1)
+        return pa.table({'n': pa.array([batch.num_rows], pa.int64()),
+                         'ss': pa.array([(m * m).sum(axis=0).tolist()])})
+
+    import ray as _ray
+    n, ss = 0, np.zeros(4)
+    for t in _ray.get(proj.select_columns(['pca']).map_batches(
+            var_partial, batch_format='pyarrow').to_arrow_refs()):
+        for row in range(t.num_rows):
+            n += int(t.column('n')[row].as_py())
+            ss += np.asarray(t.column('ss')[row].as_py())
+    return pd.DataFrame({
+        'component': np.arange(4, dtype=np.int64),
+        'explained_variance_ratio':
+            info['explained_variance_ratio'].round(6),
+        'projected_variance': (ss / max(n - 1, 1)).round(4),
+    })
+
+
 def q_embedding_components(sf_dir: str):
     """Connected components (transitive near-dup clusters) over the
     embedding near-dup pair graph — each id maps to the min id of its
@@ -1318,6 +1352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'grouped_quantiles_lineitem': q_grouped_quantiles_lineitem,
         'cumsum_lineitem': q_cumsum_lineitem,
         'kmeans_embeddings': q_kmeans_embeddings,
+        'pca_embeddings': q_pca_embeddings,
         'rolling_events': q_rolling_events,
         'quantiles_lineitem': q_quantiles_lineitem,
         'topk_per_lang_documents': q_topk_per_lang_documents,
