@@ -1127,6 +1127,48 @@ def q_rolling_events(sf_dir: str):
               'lag', 'delta', 'rolling_mean'])
 
 
+def q_redact_documents(sf_dir: str):
+    """PII redaction (corpus scrubbing): every third document gets a
+    deterministic email+URL+IP suffix injected (the synthetic corpus
+    carries no PII), then the RE2 rule chain replaces URL → EMAIL → IP
+    placeholders — pure Arrow replace_substring_regex per batch, no
+    shuffle (stages/clean.py:redact_text).  Oracle: the identical
+    augmentation + regexp_replace chain in DuckDB (both engines are
+    RE2)."""
+    from python_fastjsonschema_ray.stages.clean import redact_text
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def augment(b: pd.DataFrame) -> pd.DataFrame:
+        m = b['doc_id'] % 3 == 0
+        ids = b.loc[m, 'doc_id'].astype(str)
+        b.loc[m, 'text'] = (b.loc[m, 'text'] + ' contact user' + ids +
+                            '@example.com via http://site' + ids +
+                            '.example/page or 10.1.2.3')
+        return b
+
+    out = redact_text(ds.map_batches(augment, batch_format='pandas'),
+                      'text')
+    return _df_with_columns(out, ['doc_id', 'text'])
+
+
+def q_normalize_documents(sf_dir: str):
+    """Text canonicalization: documents are deterministically messed up
+    (leading spaces, upper-cased, tab runs appended) and normalized
+    back — lowercase, whitespace collapse, trim, all Arrow kernels per
+    batch (stages/clean.py:normalize_text).  Oracle: the same mess +
+    lower/regexp_replace/trim in DuckDB."""
+    from python_fastjsonschema_ray.stages.clean import normalize_text
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def mess(b: pd.DataFrame) -> pd.DataFrame:
+        b['text'] = '  ' + b['text'].str.upper() + '\t\t MiXeD  CASE '
+        return b
+
+    out = normalize_text(ds.map_batches(mess, batch_format='pandas'),
+                         'text')
+    return _df_with_columns(out, ['doc_id', 'text'])
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd k-means over the embedding corpus (corpus
     bucketing / semantic sharding).  Each iteration is one streaming
@@ -1353,6 +1395,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'cumsum_lineitem': q_cumsum_lineitem,
         'kmeans_embeddings': q_kmeans_embeddings,
         'pca_embeddings': q_pca_embeddings,
+        'redact_documents': q_redact_documents,
+        'normalize_documents': q_normalize_documents,
         'rolling_events': q_rolling_events,
         'quantiles_lineitem': q_quantiles_lineitem,
         'topk_per_lang_documents': q_topk_per_lang_documents,
@@ -1847,6 +1891,31 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_custkey = e.user_id
              AND e.ats >= o.o_orderdate
              AND e.ats < o.o_orderdate + INTERVAL 30 DAY
+        """,
+        'redact_documents': r"""
+            WITH aug AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0 THEN
+                           text || ' contact user' || doc_id ||
+                           '@example.com via http://site' || doc_id ||
+                           '.example/page or 10.1.2.3'
+                       ELSE text END AS text
+                FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       'https?://[^\s]+', '<URL>', 'g'),
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g') AS text
+            FROM aug
+        """,
+        'normalize_documents': r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(
+                       '  ' || upper(text) || chr(9) || chr(9) ||
+                       ' MiXeD  CASE '), '\s+', ' ', 'g')) AS text
+            FROM documents
         """,
         'cumsum_lineitem': """
             SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
