@@ -1169,6 +1169,28 @@ def q_normalize_documents(sf_dir: str):
     return _df_with_columns(out, ['doc_id', 'text'])
 
 
+def q_decontaminate_documents(sf_dir: str):
+    """Benchmark decontamination (eval-set leakage scan): every 50th
+    document plays the benchmark; corpus docs sharing any word 8-gram
+    with it are flagged with their distinct-overlap count.  Broadcast
+    semi-join: the benchmark gram-hash set folds once and ships via
+    ray.put; the corpus streams one tokenize+roll+searchsorted pass per
+    batch — no shuffle (stages/decontam.py).  Oracle: exact string
+    8-gram explode + semi-join in DuckDB."""
+    from python_fastjsonschema_ray.stages.decontam import (
+        benchmark_ngrams, decontaminate)
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+
+    def is_bench(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column('doc_id'), dtype=np.int64)
+        return batch.filter(pa.array(ids % 50 == 0))
+
+    bench_ds = ds.map_batches(is_bench, batch_format='pyarrow')
+    bench = benchmark_ngrams(bench_ds, 'text', n=8)
+    out = decontaminate(ds, 'doc_id', 'text', bench, n=8)
+    return _df_with_columns(out, ['doc_id', 'n_hits'])
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd k-means over the embedding corpus (corpus
     bucketing / semantic sharding).  Each iteration is one streaming
@@ -1397,6 +1419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'pca_embeddings': q_pca_embeddings,
         'redact_documents': q_redact_documents,
         'normalize_documents': q_normalize_documents,
+        'decontaminate_documents': q_decontaminate_documents,
         'rolling_events': q_rolling_events,
         'quantiles_lineitem': q_quantiles_lineitem,
         'topk_per_lang_documents': q_topk_per_lang_documents,
@@ -1891,6 +1914,26 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_custkey = e.user_id
              AND e.ats >= o.o_orderdate
              AND e.ats < o.o_orderdate + INTERVAL 30 DAY
+        """,
+        'decontaminate_documents': """
+            WITH corp AS (
+                SELECT doc_id, string_split(lower(text), ' ') AS toks
+                FROM documents),
+            bg AS (
+                SELECT DISTINCT array_to_string(
+                    list_slice(toks, g, g + 7), ' ') AS gram
+                FROM (SELECT toks FROM corp WHERE doc_id % 50 = 0),
+                     LATERAL (SELECT unnest(range(1, len(toks) - 6))
+                              AS g)),
+            cg AS (
+                SELECT DISTINCT doc_id, array_to_string(
+                    list_slice(toks, g, g + 7), ' ') AS gram
+                FROM corp,
+                     LATERAL (SELECT unnest(range(1, len(toks) - 6))
+                              AS g))
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM cg JOIN bg USING (gram)
+            GROUP BY doc_id
         """,
         'redact_documents': r"""
             WITH aug AS (
