@@ -1016,6 +1016,27 @@ def q_join_lineitem_orders(sf_dir: str):
         out, ['l_orderkey', 'l_quantity', 'o_orderstatus'])
 
 
+def q_left_join_orders_customer(sf_dir: str):
+    """LEFT outer equi-join through the bucketed shuffle join: orders
+    against the BUILDING-segment customer subset; unmatched orders
+    survive with typed-null enrichment (stages/join.py:shuffle_join
+    how='left' — null-key lefts split off so pandas' NaN==NaN matching
+    can't leak, int columns rebuilt to their Arrow types)."""
+    from python_fastjsonschema_ray.stages.join import shuffle_join
+    orders = _read(sf_dir, 'orders', ['o_orderkey', 'o_custkey'])
+    customer = _read(sf_dir, 'customer', ['c_custkey', 'c_mktsegment'])
+
+    def building_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.equal(b.column('c_mktsegment'), 'BUILDING'))
+
+    sub = customer.map_batches(building_only, batch_format='pyarrow')
+    out = shuffle_join(orders, sub, 'o_custkey', 'c_custkey',
+                       ['c_mktsegment'], how='left')
+    return _df_with_columns(
+        out, ['o_orderkey', 'o_custkey', 'c_mktsegment'])
+
+
 def q_grouped_quantiles_lineitem(sf_dir: str):
     """Exact per-group discrete quantiles (median + p95 of extended
     price per return flag): one (key, value) exchange on a coarse key
@@ -1415,6 +1436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'interval_join_events_orders': q_interval_join_events_orders,
         'grouped_quantiles_lineitem': q_grouped_quantiles_lineitem,
         'cumsum_lineitem': q_cumsum_lineitem,
+        'left_join_orders_customer': q_left_join_orders_customer,
         'kmeans_embeddings': q_kmeans_embeddings,
         'pca_embeddings': q_pca_embeddings,
         'redact_documents': q_redact_documents,
@@ -1959,6 +1981,12 @@ def oracle_sql() -> dict[str, str]:
                        '  ' || upper(text) || chr(9) || chr(9) ||
                        ' MiXeD  CASE '), '\s+', ' ', 'g')) AS text
             FROM documents
+        """,
+        'left_join_orders_customer': """
+            SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+            FROM orders o LEFT JOIN (
+                SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
+            ) c ON o.o_custkey = c.c_custkey
         """,
         'cumsum_lineitem': """
             SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,

@@ -100,15 +100,22 @@ def broadcast_lookup_join(ds, key, ref_ds, ref_key, ref_columns,
 
 
 def shuffle_join(left, right, left_key, right_key, right_columns,
-                 num_buckets=None):
-    """Inner equi-join of two large Datasets via one coarse hash-bucket
+                 num_buckets=None, how='inner'):
+    """Equi-join of two large Datasets via one coarse hash-bucket
     co-group per side; per-bucket vectorized pandas merge (full SQL
-    inner-join semantics including duplicate-key cross products).
-    Output columns: all of ``left`` plus ``right_columns``."""
+    semantics including duplicate-key cross products).  ``how`` is
+    ``'inner'`` or ``'left'`` — every left row lands in exactly one
+    bucket, so unmatched left rows survive the per-bucket left merge
+    with typed-null right columns (pandas' float coercion of
+    null-padded int columns is undone by rebuilding each column with
+    its declared Arrow type).  Output columns: all of ``left`` plus
+    ``right_columns``."""
     import pandas as pd
 
     from ..pipelines.constraints import _AddKeyBucket, _default_buckets
 
+    if how not in ('inner', 'left'):
+        raise ValueError("how must be 'inner' or 'left'")
     num_buckets = num_buckets or _default_buckets()
     right_columns = [c for c in right_columns if c != right_key]
 
@@ -167,16 +174,33 @@ def shuffle_join(left, right, left_key, right_key, right_columns,
         is_l = pc.equal(group.column('_side'), 'L')
         l = group.filter(is_l).select(left_names)
         r = group.filter(pc.invert(is_l)).select([right_key] + right_columns)
-        # SQL semantics: null keys never match.
+        # SQL semantics: null keys never match — but a LEFT join keeps
+        # the null-key left rows (pandas would wrongly match NaN keys,
+        # so they are split off and re-appended padded below).
+        l_null = (l.filter(pc.is_null(l.column(left_key)))
+                  if how == 'left' else None)
         l = l.filter(pc.is_valid(l.column(left_key)))
         r = r.filter(pc.is_valid(r.column(right_key)))
         lhs = l.to_pandas()
         rhs = r.to_pandas()
         out = lhs.merge(rhs, left_on=left_key, right_on=right_key,
-                        how='inner')
+                        how=how)
         if right_key not in left_names and right_key != left_key:
             out = out.drop(columns=[right_key])
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # Rebuild every column with its declared type: a left merge
+        # null-pads right columns and pandas silently floats int64.
+        arrays = {c: pa.array(out[c], type=pad_types[c], from_pandas=True)
+                  for c in out.columns}
+        result = pa.table(arrays)
+        if l_null is not None and l_null.num_rows:
+            pad = l_null
+            for c in result.column_names:
+                if c not in pad.column_names:
+                    pad = pad.append_column(
+                        c, pa.nulls(pad.num_rows, type=pad_types[c]))
+            result = pa.concat_tables(
+                [result, pad.select(result.column_names)])
+        return result
 
     return lt.union(rt).groupby('_bucket').map_groups(
         merge, batch_format='pyarrow')

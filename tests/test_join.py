@@ -108,6 +108,63 @@ def test_shuffle_join_duplicates_and_nulls(ray_session):
                    (1, 'y', 'q')]
 
 
+def test_shuffle_join_left(ray_session):
+    """how='left' keeps unmatched and null-key left rows with typed-null
+    right columns (int64 stays int64, no float coercion)."""
+    import ray.data
+    from python_fastjsonschema_ray.stages.join import shuffle_join
+    left = ray.data.from_arrow(pa.table({
+        'k': pa.array([1, 1, 2, 3, None], type=pa.int64()),
+        'lv': pa.array(['a', 'b', 'c', 'd', 'n'])})).repartition(2)
+    right = ray.data.from_arrow(pa.table({
+        'rk': pa.array([1, 1, None], type=pa.int64()),
+        'rv': pa.array([10, 20, 99], type=pa.int64())})).repartition(2)
+    import pandas as pd
+    out = shuffle_join(left, right, 'k', 'rk', ['rv'],
+                       how='left').to_pandas()
+    got = sorted(((int(r.k) if pd.notna(r.k) else None, r.lv,
+                   int(r.rv) if pd.notna(r.rv) else None)
+                  for r in out.itertuples()), key=repr)
+    assert got == sorted([
+        (1, 'a', 10), (1, 'a', 20), (1, 'b', 10), (1, 'b', 20),
+        (2, 'c', None), (3, 'd', None), (None, 'n', None),
+    ], key=repr)
+    # Schema: rv survives as int64-typed nullable, never float64.
+    import pyarrow.types as pt
+    sch = shuffle_join(left, right, 'k', 'rk', ['rv'],
+                       how='left').schema()
+    assert str(dict(zip(sch.names, sch.types))['rv']) == 'int64'
+
+
+def test_shuffle_join_left_vs_duckdb(ray_session, ddb):
+    """LEFT join orders onto a filtered customer subset — unmatched
+    orders keep typed nulls; equality vs DuckDB LEFT JOIN."""
+    import ray.data
+    from python_fastjsonschema_ray.stages.join import shuffle_join
+    orders = ray.data.read_parquet(SF + '/orders.parquet',
+                                   columns=['o_orderkey', 'o_custkey'])
+    cust = ray.data.read_parquet(SF + '/customer.parquet',
+                                 columns=['c_custkey', 'c_mktsegment'])
+
+    def building_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.equal(b.column('c_mktsegment'), 'BUILDING'))
+
+    sub = cust.map_batches(building_only, batch_format='pyarrow')
+    out = shuffle_join(orders, sub, 'o_custkey', 'c_custkey',
+                       ['c_mktsegment'], how='left').to_pandas()
+    exp = ddb.execute("""
+        SELECT o.o_orderkey, o.o_custkey, c.c_mktsegment
+        FROM orders o LEFT JOIN (
+            SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
+        ) c ON o.o_custkey = c.c_custkey
+    """).df()
+    cols = ['o_orderkey', 'o_custkey', 'c_mktsegment']
+    assert _norm(out.fillna({'c_mktsegment': ''}), cols) == \
+        _norm(exp.fillna({'c_mktsegment': ''}), cols)
+    assert out['c_mktsegment'].isna().any()       # unmatched rows exist
+
+
 def _asof_fixture(ray):
     """Synthetic frames exercising ties, null keys, missing by-keys."""
     left = ray.data.from_arrow(pa.table({
