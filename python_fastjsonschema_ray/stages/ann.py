@@ -118,17 +118,31 @@ def _assign_clusters(batch: pa.Table, embedding_column,
 
 
 def build_ivf(ds, embedding_column, nlist=64, sample_rows=10_000,
-              concurrency=None):
-    """Train centroids on a sample, tag every row with its cluster.
-    Returns (tagged_ds, centroids).  At scale, write tagged_ds partitioned
-    by ivf_cluster so a probe reads only the matching partitions."""
+              concurrency=None, train='sample', train_iters=8):
+    """Train centroids, tag every row with its cluster.  Returns
+    (tagged_ds, centroids).  At scale, write tagged_ds partitioned by
+    ivf_cluster so a probe reads only the matching partitions.
+
+    ``train='sample'`` (default) runs the local spherical k-means on a
+    driver-side sample — cheap, usually enough for routing.
+    ``train='full'`` refines with the distributed Lloyd passes over the
+    ENTIRE dataset (stages/cluster.py:kmeans_fit, spherical) — better
+    balanced lists for skewed corpora, at ``train_iters`` extra
+    streaming scans and still zero shuffle."""
     import ray
 
+    if train not in ('sample', 'full'):
+        raise ValueError("train must be 'sample' or 'full'")
     sample = ds.select_columns([embedding_column]) \
         .random_sample(min(1.0, sample_rows / max(ds.count(), 1)), seed=11) \
         .to_pandas()
     mat = np.stack(sample[embedding_column].to_numpy()).astype(np.float64)
     centroids = _kmeans(mat, min(nlist, len(mat)))
+    if train == 'full':
+        from .cluster import kmeans_fit
+        centroids, _ = kmeans_fit(
+            ds, embedding_column, len(centroids), iters=train_iters,
+            init_centroids=_unit(centroids), normalize=True)
     centroids_ref = ray.put(centroids)
     kwargs = {'batch_format': 'pyarrow'}
     if concurrency:

@@ -240,6 +240,31 @@ def test_ivf_recall(embeddings):
     assert len(exact & approx) >= 6   # recall ≥ 0.6 with half the lists probed
 
 
+def test_ivf_full_training_path(embeddings):
+    """train='full' refines centroids with distributed spherical Lloyd;
+    the index stays exact when every list is probed, and the refined
+    assignment is the true nearest-centroid-by-cosine partition."""
+    from python_fastjsonschema_ray.stages.ann import (
+        build_ivf, topk_cosine, topk_cosine_ivf)
+    rng = np.random.default_rng(23)
+    q = rng.standard_normal(64)
+    tagged, centroids = build_ivf(embeddings, 'embedding', nlist=8,
+                                  train='full', train_iters=3)
+    np.testing.assert_allclose(np.linalg.norm(centroids, axis=1), 1.0,
+                               atol=1e-9)
+    exact = topk_cosine(embeddings, 'vec_id', 'embedding', q, k=10)
+    full = topk_cosine_ivf(tagged, centroids, 'vec_id', 'embedding', q,
+                           k=10, nprobe=8)
+    assert full['vec_id'].tolist() == exact['vec_id'].tolist()
+    tdf = tagged.to_pandas()
+    mat = np.stack(tdf['embedding'].to_numpy()).astype(np.float64)
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    expected = np.argmax(unit @ centroids.T, axis=1)
+    assert (tdf['ivf_cluster'].to_numpy() == expected).all()
+    with pytest.raises(ValueError, match="train must be"):
+        build_ivf(embeddings, 'embedding', nlist=8, train='nope')
+
+
 def test_ivf_probe_equals_bruteforce_on_probed_clusters(embeddings):
     """The vectorized probe must return EXACTLY the top-k of the rows in
     the probed clusters (no per-row Python filter semantics drift)."""
