@@ -1212,6 +1212,22 @@ def q_decontaminate_documents(sf_dir: str):
     return _df_with_columns(out, ['doc_id', 'n_hits'])
 
 
+def q_standardize_lineitem(sf_dir: str):
+    """Z-score feature scaling: two shuffle-free streaming passes —
+    per-block (n, sum, sum-of-squares) partials folded to mean/std,
+    then one vectorized map against the broadcast constants
+    (stages/scale.py).  Oracle: AVG / STDDEV_SAMP window over the
+    whole table."""
+    from python_fastjsonschema_ray.stages.scale import standardize_columns
+    ds = _read(sf_dir, 'lineitem',
+               ['l_orderkey', 'l_linenumber', 'l_quantity',
+                'l_extendedprice'])
+    out = standardize_columns(ds, ['l_quantity', 'l_extendedprice'])
+    return _df_with_columns(
+        out, ['l_orderkey', 'l_linenumber', 'l_quantity',
+              'l_extendedprice', 'l_quantity_z', 'l_extendedprice_z'])
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd k-means over the embedding corpus (corpus
     bucketing / semantic sharding).  Each iteration is one streaming
@@ -1438,6 +1454,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'cumsum_lineitem': q_cumsum_lineitem,
         'left_join_orders_customer': q_left_join_orders_customer,
         'kmeans_embeddings': q_kmeans_embeddings,
+        'standardize_lineitem': q_standardize_lineitem,
         'pca_embeddings': q_pca_embeddings,
         'redact_documents': q_redact_documents,
         'normalize_documents': q_normalize_documents,
@@ -1987,6 +2004,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o LEFT JOIN (
                 SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
             ) c ON o.o_custkey = c.c_custkey
+        """,
+        'standardize_lineitem': """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                   (l_quantity - AVG(l_quantity) OVER ())
+                       / STDDEV_SAMP(l_quantity) OVER () AS l_quantity_z,
+                   (l_extendedprice - AVG(l_extendedprice) OVER ())
+                       / STDDEV_SAMP(l_extendedprice) OVER ()
+                       AS l_extendedprice_z
+            FROM lineitem
         """,
         'cumsum_lineitem': """
             SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
