@@ -91,11 +91,12 @@ def cmd_profile(args):
     import ray.data
 
     from .pipelines.infer import infer_table_spec
+    from .sources.reader import read_table
     files = sorted(glob.glob(args.input))
     if not files:
         print('no input files match {}'.format(args.input), file=sys.stderr)
         sys.exit(2)
-    ds = ray.data.read_parquet(files)
+    ds = read_table(files)
     spec = infer_table_spec(ds, columns=args.columns)
     print(json.dumps(spec, indent=1, sort_keys=True))
     ray.shutdown()

@@ -244,7 +244,8 @@ def run_validation_job(input_files, definition, out_dir, *, key_column=None,
         os.makedirs(viol_dir)
 
         with construct_lock:
-            ds = ray.data.read_parquet(path)
+            from ..sources.reader import read_table
+            ds = read_table(path)
             arrow_schema = pa.schema(
                 [pa.field(n, t) for n, t in
                  zip(ds.schema().names, ds.schema().types)])

@@ -16,9 +16,42 @@ def _is_lance(path: str) -> bool:
     return path.endswith('.lance') or os.path.isdir(os.path.join(path, '_versions'))
 
 
+def _strip_compression(name: str) -> str:
+    for ext in ('.gz', '.zst', '.bz2'):
+        if name.endswith(ext):
+            return name[:-len(ext)]
+    return name
+
+
 def read_table(path: str, columns=None, **kwargs):
-    """ray.data reader with format auto-detection + column pruning."""
+    """ray.data reader with format auto-detection + column pruning.
+
+    Formats: Lance (real clusters), Parquet (default), JSON/JSONL (the
+    reference's native document format — one JSON object per line), and
+    CSV.  Parquet/Lance push ``columns`` into the scan; JSONL/CSV read
+    full records and project immediately after (those formats are
+    row-oriented — there is nothing to push down to)."""
     import ray.data
+
+    if isinstance(path, (list, tuple)):
+        probe = path[0] if path else ''
+        if not _is_lance(probe):
+            base = _strip_compression(str(probe).rstrip('/'))
+            if base.endswith(('.json', '.jsonl', '.ndjson')):
+                ds = ray.data.read_json(list(path), **kwargs)
+                return (ds.select_columns(list(columns))
+                        if columns else ds)
+            if base.endswith(('.csv', '.tsv')):
+                if base.endswith('.tsv'):
+                    from pyarrow import csv as pacsv
+                    kwargs.setdefault('parse_options',
+                                      pacsv.ParseOptions(delimiter='\t'))
+                ds = ray.data.read_csv(list(path), **kwargs)
+                return (ds.select_columns(list(columns))
+                        if columns else ds)
+            return ray.data.read_parquet(list(path), columns=columns,
+                                         **kwargs)
+        path = probe
 
     if _is_lance(path):
         try:
@@ -28,6 +61,17 @@ def read_table(path: str, columns=None, **kwargs):
             raise ImportError(
                 'dataset at {} looks like Lance but pylance is not '
                 'installed; install pylance or convert to parquet'.format(path))
+    base = _strip_compression(path.rstrip('/'))
+    if base.endswith(('.json', '.jsonl', '.ndjson')):
+        ds = ray.data.read_json(path, **kwargs)
+        return ds.select_columns(list(columns)) if columns else ds
+    if base.endswith(('.csv', '.tsv')):
+        if base.endswith('.tsv'):
+            from pyarrow import csv as pacsv
+            kwargs.setdefault('parse_options',
+                              pacsv.ParseOptions(delimiter='\t'))
+        ds = ray.data.read_csv(path, **kwargs)
+        return ds.select_columns(list(columns)) if columns else ds
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 

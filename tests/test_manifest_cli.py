@@ -17,6 +17,26 @@ def test_plan_hash_stability():
     assert a == b != c
 
 
+def test_run_validation_job_jsonl_shards(ray_session, tmp_path):
+    """The resumable job accepts JSONL shards (the reference's native
+    document format) through the format-detecting reader."""
+    import json as _json
+    from python_fastjsonschema_ray.pipelines.manifest import (
+        run_validation_job)
+    shards = []
+    for i in range(2):
+        p = tmp_path / 'in_{}.jsonl'.format(i)
+        p.write_text('\n'.join(
+            _json.dumps({'id': i * 10 + j, 'v': j - 1}) for j in range(6)))
+        shards.append(str(p))
+    spec = {'properties': {'v': {'minimum': 0}}}
+    out = str(tmp_path / 'out')
+    summary = run_validation_job(shards, spec, out, key_column='id')
+    assert summary['partitions'] == 2
+    assert summary['rows'] == 12
+    assert summary['violations'] == 2    # one v=-1 row per shard
+
+
 def test_run_validation_job_resumes(ray_session, tmp_path):
     import pyarrow as pa
     from python_fastjsonschema_ray.pipelines.manifest import (

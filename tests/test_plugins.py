@@ -77,3 +77,42 @@ def test_reader_parquet_fallback(ray_session):
                     columns=['r_name'])
     assert ds.count() == 5
     assert ds.schema().names == ['r_name']
+
+
+def test_reader_jsonl_and_csv(ray_session, tmp_path):
+    """JSONL (the reference's native document format) and CSV/TSV are
+    auto-detected; `columns` projects right after the read."""
+    from python_fastjsonschema_ray.sources.reader import read_table
+    rows = [{'id': i, 'name': 'n%d' % i, 'score': i * 1.5}
+            for i in range(7)]
+    jl = tmp_path / 'docs.jsonl'
+    jl.write_text('\n'.join(__import__('json').dumps(r) for r in rows))
+    ds = read_table(str(jl), columns=['id', 'score'])
+    df = ds.to_pandas().sort_values('id')
+    assert list(df.columns) == ['id', 'score']
+    assert df['score'].tolist() == [i * 1.5 for i in range(7)]
+
+    cv = tmp_path / 'docs.csv'
+    cv.write_text('id,name\n' + '\n'.join('%d,n%d' % (i, i)
+                                          for i in range(5)))
+    ds = read_table(str(cv), columns=['name'])
+    assert sorted(ds.to_pandas()['name']) == ['n%d' % i for i in range(5)]
+
+    tv = tmp_path / 'docs.tsv'
+    tv.write_text('id\tname\n' + '\n'.join('%d\tn%d' % (i, i)
+                                           for i in range(4)))
+    ds = read_table(str(tv))
+    assert ds.count() == 4 and set(ds.schema().names) == {'id', 'name'}
+
+
+def test_reader_jsonl_validates_end_to_end(ray_session, tmp_path):
+    """A JSONL corpus flows through the table validator unchanged."""
+    import json
+    from python_fastjsonschema_ray.pipelines.validate import validate_dataset
+    from python_fastjsonschema_ray.sources.reader import read_table
+    jl = tmp_path / 'c.jsonl'
+    jl.write_text('\n'.join(json.dumps({'v': v}) for v in [1, 5, 12, 3]))
+    ds = read_table(str(jl))
+    out = validate_dataset(ds, {'properties': {'v': {'maximum': 10}}})
+    df = out.to_pandas().sort_values('v')
+    assert df['valid'].tolist() == [True, True, True, False]
