@@ -966,6 +966,40 @@ def q_stratified_sample_documents(sf_dir: str):
     return _df_with_columns(out, ['lang', 'doc_id'])
 
 
+def q_chunk_documents(sf_dir: str):
+    """Fixed 200-char windows with 40-char overlap (stride 160), the
+    pre-packing split step: one row per chunk, pure streaming flat-map
+    (no shuffle; chunks never leave the worker holding the parent
+    document)."""
+    from python_fastjsonschema_ray.stages.chunk import chunk_text
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    out = chunk_text(ds, 'doc_id', 'text', chunk_chars=200, overlap=40)
+    return _df_with_columns(out, ['doc_id', 'chunk_idx', 'chunk_text'])
+
+
+def q_repetition_documents(sf_dir: str):
+    """Gopher-style intra-document repetition: fraction of word
+    characters belonging to words repeated within the SAME document
+    (filter threshold for boilerplate removal).  Pure map_batches."""
+    from python_fastjsonschema_ray.stages.chunk import repetition_stats
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    out = repetition_stats(ds, 'doc_id', 'text', separator=' ')
+    return _df_with_columns(out, ['doc_id', 'dup_char_ratio', 'n_segments'])
+
+
+def q_mixture_sample_documents(sf_dir: str):
+    """Domain-mixture resampling: rebalance the corpus to a 50/25/25
+    en/zh/es language mixture of 40 docs, membership decided by hash
+    order of doc_id (largest-remainder quotas; per-group quota-prefix
+    cut so at most quota rows per group per block shuffle)."""
+    from python_fastjsonschema_ray.stages.sample import (
+        mixture_quotas, mixture_sample_exact)
+    ds = _read(sf_dir, 'documents', ['doc_id', 'lang'])
+    quotas = mixture_quotas({'en': 0.5, 'zh': 0.25, 'es': 0.25}, 40)
+    out = mixture_sample_exact(ds, 'lang', 'doc_id', quotas)
+    return _df_with_columns(out, ['lang', 'doc_id'])
+
+
 def q_topk_per_lang_documents(sf_dir: str):
     """Grouped top-k: 3 longest documents per language, deterministic
     tie-break on doc_id; only k rows per group per block ever shuffle."""
@@ -1469,6 +1503,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'infer_schema_documents': q_infer_schema_documents,
         'sample_documents': q_sample_documents,
         'stratified_sample_documents': q_stratified_sample_documents,
+        'chunk_documents': q_chunk_documents,
+        'repetition_documents': q_repetition_documents,
+        'mixture_sample_documents': q_mixture_sample_documents,
         'plugin_even_lineitem': q_plugin_even_lineitem,
         # rows-only (no SQL equivalent):
         'langid_documents': q_langid_documents,
@@ -1899,6 +1936,47 @@ def oracle_sql() -> dict[str, str]:
                                     doc_id ASC) AS rn
                 FROM documents)
             WHERE rn <= 5
+        """,
+        'chunk_documents': """
+            WITH nc AS (
+                SELECT doc_id, text,
+                       CASE WHEN length(text) <= 200 THEN 1
+                            ELSE CAST(ceil((length(text) - 200) / 160.0)
+                                      AS BIGINT) + 1 END AS n_chunks
+                FROM documents),
+            s AS (SELECT unnest(range(0, (SELECT max(n_chunks) FROM nc)))
+                         AS i)
+            SELECT doc_id, i AS chunk_idx,
+                   substring(text, CAST(i * 160 AS INT) + 1, 200)
+                       AS chunk_text
+            FROM nc, s WHERE s.i < nc.n_chunks
+        """,
+        'repetition_documents': """
+            WITH segs AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS seg
+                FROM documents),
+            agg AS (
+                SELECT doc_id, seg, count(*) AS c, length(seg) AS ll
+                FROM segs GROUP BY doc_id, seg)
+            SELECT doc_id,
+                   COALESCE(CAST(SUM(CASE WHEN c > 1 THEN c * ll END)
+                                 AS DOUBLE) / NULLIF(SUM(c * ll), 0),
+                            0.0) AS dup_char_ratio,
+                   CAST(SUM(c) AS BIGINT) AS n_segments
+            FROM agg GROUP BY doc_id
+        """,
+        'mixture_sample_documents': """
+            SELECT lang, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 1000000000 ASC,
+                                    doc_id ASC) AS rn
+                FROM documents
+                WHERE lang IN ('en', 'zh', 'es'))
+            WHERE (lang = 'en' AND rn <= 20)
+               OR (lang = 'zh' AND rn <= 10)
+               OR (lang = 'es' AND rn <= 10)
         """,
         'topk_per_lang_documents': """
             SELECT lang, doc_id, n_chars FROM (

@@ -66,3 +66,71 @@ def stratified_sample_exact(ds, group_columns, key_column, n, *, salt=0,
                        ['_sample_rank', key_column], n,
                        descending=[False, False], **topk_kwargs)
     return out.drop_columns(['_sample_rank'])
+
+
+def mixture_quotas(weights, total):
+    """Largest-remainder (Hamilton) rounding of fractional mixture
+    ``weights`` ({group: weight}) to integer per-group quotas that sum
+    to exactly ``total``.  Deterministic: ties broken by group key."""
+    wsum = float(sum(weights.values()))
+    if wsum <= 0:
+        raise ValueError('weights must sum to a positive value')
+    exact = {g: total * w / wsum for g, w in weights.items()}
+    quotas = {g: int(e) for g, e in exact.items()}
+    short = total - sum(quotas.values())
+    by_rem = sorted(exact, key=lambda g: (-(exact[g] - quotas[g]), g))
+    for g in by_rem[:short]:
+        quotas[g] += 1
+    return quotas
+
+
+def mixture_sample_exact(ds, group_column, key_column, quotas, *, salt=0,
+                         modulus=1_000_000_000, coalesce=True,
+                         num_buckets=None):
+    """Domain-mixture resampling: exactly ``quotas[g]`` rows from each
+    group ``g`` (fewer when the group is smaller), deterministically
+    chosen by hash order of the key — the curation step that rebalances
+    a crawl toward a target domain/language mixture (use
+    ``mixture_quotas(weights, total)`` to turn fractional weights into
+    quotas).  Groups absent from ``quotas`` are dropped.
+
+    Same two-level shape as ``grouped_topk`` but with a PER-GROUP k:
+    each block keeps its local quota-prefix per group (per-group
+    top-quota by rank is associative), so the shuffle moves at most
+    ``quotas[g]`` rows per group per block; the coarse-bucket fold
+    applies the identical vectorized cumcount cut.  The quota dict
+    rides in the task closure — broadcast once, never per batch."""
+    import pandas as pd
+
+    from ..pipelines.constraints import _AddKeyBucket, _default_buckets
+
+    quotas = dict(quotas)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(batch.column(key_column).combine_chunks()
+                          .cast(pa.int64()).fill_null(-1), dtype=np.int64)
+        with np.errstate(over='ignore'):
+            h = ((vals + np.int64(salt)) * np.int64(KNUTH)) % np.int64(modulus)
+        return batch.append_column('_sample_rank',
+                                   pa.array(h, type=pa.int64()))
+
+    def cut(batch: pd.DataFrame) -> pd.DataFrame:
+        srt = batch.sort_values(['_sample_rank', key_column])
+        quota = srt[group_column].map(quotas).fillna(0).to_numpy()
+        pos = srt.groupby(group_column, sort=False,
+                          dropna=False).cumcount().to_numpy()
+        return srt[pos < quota]
+
+    ranked = ds.map_batches(rank, batch_format='pyarrow')
+    partials = ranked.map_batches(cut, batch_format='pandas')
+    if coalesce:
+        partials = partials.repartition(_default_buckets() // 8 or 1)
+    bucketed = partials.map_batches(
+        _AddKeyBucket([group_column], num_buckets or _default_buckets()),
+        batch_format='pyarrow')
+
+    def fold(group: pd.DataFrame) -> pd.DataFrame:
+        return cut(group.drop(columns=['_bucket']))
+
+    out = bucketed.groupby('_bucket').map_groups(fold, batch_format='pandas')
+    return out.drop_columns(['_sample_rank'])
