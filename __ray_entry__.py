@@ -1071,6 +1071,46 @@ def q_left_join_orders_customer(sf_dir: str):
         out, ['o_orderkey', 'o_custkey', 'c_mktsegment'])
 
 
+def q_semi_join_lineitem_part(sf_dir: str):
+    """SQL EXISTS as a broadcast semi join: lineitem rows whose part is
+    oversized (p_size > 40).  The filtered part keys ship once as
+    object-store refs; per batch one vectorized index_in filter, no
+    columns appended, no shuffle (stages/join.py how='semi')."""
+    from python_fastjsonschema_ray.stages.join import broadcast_lookup_join
+    li = _read(sf_dir, 'lineitem', ['l_orderkey', 'l_partkey',
+                                    'l_quantity'])
+    part = _read(sf_dir, 'part', ['p_partkey', 'p_size'])
+
+    def oversized(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.greater(b.column('p_size'), 40))
+
+    big = part.map_batches(oversized, batch_format='pyarrow')
+    out = broadcast_lookup_join(li, 'l_partkey', big, 'p_partkey',
+                                how='semi')
+    return _df_with_columns(out, ['l_orderkey', 'l_partkey', 'l_quantity'])
+
+
+def q_anti_join_customer_orders(sf_dir: str):
+    """SQL NOT EXISTS at shuffle scale: customers with no finished
+    ('F') order.  The order side collapses to per-block DISTINCT
+    custkeys before the exchange, so the shuffle moves customer rows
+    plus one key row per distinct customer per block
+    (stages/join.py:_shuffle_semi_anti)."""
+    from python_fastjsonschema_ray.stages.join import shuffle_join
+    customer = _read(sf_dir, 'customer', ['c_custkey', 'c_mktsegment'])
+    orders = _read(sf_dir, 'orders', ['o_custkey', 'o_orderstatus'])
+
+    def finished(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.equal(b.column('o_orderstatus'), 'F'))
+
+    fin = orders.map_batches(finished, batch_format='pyarrow')
+    out = shuffle_join(customer, fin, 'c_custkey', 'o_custkey', [],
+                       how='anti')
+    return _df_with_columns(out, ['c_custkey', 'c_mktsegment'])
+
+
 def q_grouped_quantiles_lineitem(sf_dir: str):
     """Exact per-group discrete quantiles (median + p95 of extended
     price per return flag): one (key, value) exchange on a coarse key
@@ -1487,6 +1527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'grouped_quantiles_lineitem': q_grouped_quantiles_lineitem,
         'cumsum_lineitem': q_cumsum_lineitem,
         'left_join_orders_customer': q_left_join_orders_customer,
+        'semi_join_lineitem_part': q_semi_join_lineitem_part,
+        'anti_join_customer_orders': q_anti_join_customer_orders,
         'kmeans_embeddings': q_kmeans_embeddings,
         'standardize_lineitem': q_standardize_lineitem,
         'pca_embeddings': q_pca_embeddings,
@@ -2082,6 +2124,17 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o LEFT JOIN (
                 SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
             ) c ON o.o_custkey = c.c_custkey
+        """,
+        'semi_join_lineitem_part': """
+            SELECT l_orderkey, l_partkey, l_quantity FROM lineitem
+            WHERE EXISTS (SELECT 1 FROM part
+                          WHERE p_partkey = l_partkey AND p_size > 40)
+        """,
+        'anti_join_customer_orders': """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderstatus = 'F')
         """,
         'standardize_lineitem': """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,

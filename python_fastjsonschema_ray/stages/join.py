@@ -38,21 +38,28 @@ def _as_arrow(t):
     return pa.Table.from_pandas(t)
 
 
-def broadcast_lookup_join(ds, key, ref_ds, ref_key, ref_columns,
+def broadcast_lookup_join(ds, key, ref_ds, ref_key, ref_columns=None,
                           how='inner', check_unique=False):
     """Enrich ``ds`` with ``ref_columns`` from ``ref_ds`` matched on
     ``ds[key] == ref_ds[ref_key]``.
 
     ``how='inner'`` drops unmatched (and null-key) rows; ``how='left'``
-    keeps them with null enrichment columns.  The ref side must be
-    unique on ``ref_key``."""
+    keeps them with null enrichment columns; ``how='semi'`` /
+    ``how='anti'`` filter to rows whose key does / does not exist on
+    the ref side (SQL ``EXISTS`` / ``NOT EXISTS``: null keys never
+    match, so semi drops them and anti keeps them) without appending
+    any columns — the broadcast denylist/allowlist filter.  For
+    inner/left the ref side must be unique on ``ref_key``; semi/anti
+    tolerate duplicates."""
     import ray
 
     from .dedup import _worker_cached
 
-    if how not in ('inner', 'left'):
-        raise ValueError("how must be 'inner' or 'left'")
-    ref_columns = [c for c in ref_columns if c != ref_key]
+    if how not in ('inner', 'left', 'semi', 'anti'):
+        raise ValueError("how must be 'inner', 'left', 'semi' or 'anti'")
+    if how in ('semi', 'anti'):
+        ref_columns = []
+    ref_columns = [c for c in (ref_columns or []) if c != ref_key]
     refs = ref_ds.select_columns([ref_key] + ref_columns).to_arrow_refs()
 
     if check_unique:
@@ -85,6 +92,13 @@ def broadcast_lookup_join(ds, key, ref_ds, ref_key, ref_columns,
             idx = pc.index_in(
                 k.cast(ref.column(ref_key).type),
                 value_set=ref.column(ref_key).combine_chunks())
+        if how in ('semi', 'anti'):
+            # index_in matches null->null when the ref side holds a null
+            # key; SQL EXISTS never matches nulls, so guard on key
+            # validity explicitly.
+            hit = pc.and_(pc.is_valid(idx), pc.is_valid(k))
+            return batch.filter(hit if how == 'semi'
+                                else pc.invert(hit))
         if how == 'inner':
             hit = pc.is_valid(idx)
             batch = batch.filter(hit)
@@ -114,8 +128,11 @@ def shuffle_join(left, right, left_key, right_key, right_columns,
 
     from ..pipelines.constraints import _AddKeyBucket, _default_buckets
 
-    if how not in ('inner', 'left'):
-        raise ValueError("how must be 'inner' or 'left'")
+    if how not in ('inner', 'left', 'semi', 'anti'):
+        raise ValueError("how must be 'inner', 'left', 'semi' or 'anti'")
+    if how in ('semi', 'anti'):
+        return _shuffle_semi_anti(left, right, left_key, right_key,
+                                  num_buckets, how)
     num_buckets = num_buckets or _default_buckets()
     right_columns = [c for c in right_columns if c != right_key]
 
@@ -204,6 +221,65 @@ def shuffle_join(left, right, left_key, right_key, right_columns,
 
     return lt.union(rt).groupby('_bucket').map_groups(
         merge, batch_format='pyarrow')
+
+
+def _shuffle_semi_anti(left, right, left_key, right_key, num_buckets, how):
+    """Distributed SQL ``EXISTS`` / ``NOT EXISTS`` filter when the key
+    side is too large to broadcast (use ``broadcast_lookup_join`` with
+    ``how='semi'/'anti'`` otherwise).
+
+    The right side collapses to per-block DISTINCT keys BEFORE the
+    exchange (an Arrow group_by combiner, the dedup_exact discipline),
+    so the shuffle moves full left rows plus at most one key row per
+    distinct right key per block — never right payload columns.  Null
+    left keys never match: semi drops them, anti keeps them."""
+    from ..pipelines.constraints import _AddKeyBucket, _default_buckets
+
+    num_buckets = num_buckets or _default_buckets()
+    left_schema = left.schema()
+    if any(t is None for t in left_schema.types):
+        # pandas-block datasets report extension dtypes as None; route
+        # through an Arrow conversion so the pad types are real.
+        left = left.map_batches(lambda t: t, batch_format='pyarrow')
+        left_schema = left.schema()
+    left_names = list(left_schema.names)
+    key_type = dict(zip(left_schema.names, left_schema.types))[left_key]
+    pad_types = dict(zip(left_schema.names, left_schema.types))
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        return b.append_column('_side', pa.array(['L'] * b.num_rows))
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        keys = (b.select([right_key]).group_by([right_key]).aggregate([])
+                .column(right_key).combine_chunks().cast(key_type))
+        t = pa.table({left_key: keys})
+        for c in left_names:
+            if c != left_key:
+                t = t.append_column(c, pa.nulls(t.num_rows,
+                                                type=pad_types[c]))
+        t = t.append_column('_side', pa.array(['R'] * t.num_rows))
+        return t.select(left_names + ['_side'])
+
+    lt = left.map_batches(tag_left, batch_format='pyarrow').map_batches(
+        _AddKeyBucket([left_key], num_buckets), batch_format='pyarrow')
+    rt = right.select_columns([right_key]).map_batches(
+        tag_right, batch_format='pyarrow').map_batches(
+        _AddKeyBucket([left_key], num_buckets), batch_format='pyarrow')
+
+    def filt(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_l = pc.equal(group.column('_side'), 'L')
+        l = group.filter(is_l).select(left_names)
+        rkeys = group.filter(pc.invert(is_l)).column(left_key) \
+            .combine_chunks()
+        k = l.column(left_key)
+        hit = pc.and_(pc.fill_null(pc.is_in(k, value_set=rkeys), False),
+                      pc.is_valid(k))
+        return l.filter(hit if how == 'semi' else pc.invert(hit))
+
+    return lt.union(rt).groupby('_bucket').map_groups(
+        filt, batch_format='pyarrow')
 
 
 def broadcast_interval_join(ds, point_column, intervals, start_column,
