@@ -1071,6 +1071,19 @@ def q_left_join_orders_customer(sf_dir: str):
         out, ['o_orderkey', 'o_custkey', 'c_mktsegment'])
 
 
+def q_rank_documents(sf_dir: str):
+    """Exact global ranking (ROW_NUMBER over a total order): documents
+    by descending length, doc_id tiebreak.  Dataset.sort
+    range-partitions into ordered blocks, then a counts-only prefix
+    fold stamps offset+arange per block — payload rows cross the wire
+    once (stages/scan.py:global_rank)."""
+    from python_fastjsonschema_ray.stages.scan import global_rank
+    ds = _read(sf_dir, 'documents', ['doc_id', 'n_chars'])
+    out = global_rank(ds, ['n_chars', 'doc_id'],
+                      descending=[True, False])
+    return _df_with_columns(out, ['doc_id', 'n_chars', 'rank'])
+
+
 def q_semi_join_lineitem_part(sf_dir: str):
     """SQL EXISTS as a broadcast semi join: lineitem rows whose part is
     oversized (p_size > 40).  The filtered part keys ship once as
@@ -1527,6 +1540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'grouped_quantiles_lineitem': q_grouped_quantiles_lineitem,
         'cumsum_lineitem': q_cumsum_lineitem,
         'left_join_orders_customer': q_left_join_orders_customer,
+        'rank_documents': q_rank_documents,
         'semi_join_lineitem_part': q_semi_join_lineitem_part,
         'anti_join_customer_orders': q_anti_join_customer_orders,
         'kmeans_embeddings': q_kmeans_embeddings,
@@ -2124,6 +2138,12 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o LEFT JOIN (
                 SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
             ) c ON o.o_custkey = c.c_custkey
+        """,
+        'rank_documents': """
+            SELECT doc_id, n_chars,
+                   row_number() OVER (
+                       ORDER BY n_chars DESC, doc_id ASC) AS rank
+            FROM documents
         """,
         'semi_join_lineitem_part': """
             SELECT l_orderkey, l_partkey, l_quantity FROM lineitem

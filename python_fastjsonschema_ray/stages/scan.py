@@ -124,3 +124,44 @@ def grouped_scan(ds, keys, order_by, value_column,
 
     return bucketed.groupby('_bucket').map_groups(
         bucket_scan, batch_format='pyarrow')
+
+
+def global_rank(ds, order_columns, *, descending=False,
+                rank_column='rank'):
+    """GLOBAL dense ordering: ``ROW_NUMBER() OVER (ORDER BY ...)`` —
+    every row stamped with its 1-indexed position in the total order
+    (pass enough ``order_columns`` to make the order unique or the
+    ranks on tied rows are implementation-defined, exactly as in SQL).
+
+    Two phases, the ``packing_plan`` discipline (stages/pack.py:30):
+    ``Dataset.sort`` range-partitions into globally ordered blocks (the
+    one unavoidable all-to-all — any exact total order pays it), then a
+    counts-only fold reaches the driver (one int per block) and each
+    block stamps ``offset + arange`` independently.  Row payloads cross
+    the wire once, in the sort."""
+    import ray
+    import ray.data
+
+    sorted_ds = ds.sort(list(order_columns),
+                        descending=descending).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def nrows(t) -> int:
+        return t.num_rows if isinstance(t, pa.Table) else len(t)
+
+    counts = ray.get([nrows.remote(r) for r in refs])
+    offsets = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[:-1], out=offsets[1:])
+
+    @ray.remote
+    def stamp(t, offset: int):
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t)
+        ranks = np.arange(offset + 1, offset + 1 + t.num_rows,
+                          dtype=np.int64)
+        return t.append_column(rank_column,
+                               pa.array(ranks, type=pa.int64()))
+
+    return ray.data.from_arrow_refs(
+        [stamp.remote(r, int(o)) for r, o in zip(refs, offsets)])

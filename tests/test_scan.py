@@ -119,3 +119,33 @@ def test_grouped_scan_validation(ray_session):
         grouped_scan(_ds(df), ['k'], ['t'], 'v', ops=('nope',))
     with pytest.raises(ValueError, match='window'):
         grouped_scan(_ds(df), ['k'], ['t'], 'v', ops=('rolling_mean',))
+
+
+def test_global_rank_total_order(ray_session):
+    """Every row gets its exact 1-indexed global position; ranks are a
+    permutation of 1..N and agree with a pandas argsort reference."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from python_fastjsonschema_ray.stages.scan import global_rank
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({'v': rng.integers(0, 50, 500).astype('int64'),
+                       'id': np.arange(500, dtype='int64')})
+    ds = ray.data.from_pandas(df).repartition(7)
+    out = global_rank(ds, ['v', 'id']).to_pandas()
+    assert sorted(out['rank']) == list(range(1, 501))
+    ref = df.sort_values(['v', 'id']).reset_index(drop=True)
+    got = out.sort_values('rank').reset_index(drop=True)
+    assert got['id'].tolist() == ref['id'].tolist()
+
+
+def test_global_rank_descending(ray_session):
+    import pandas as pd
+    import ray.data
+    from python_fastjsonschema_ray.stages.scan import global_rank
+
+    df = pd.DataFrame({'v': [3, 1, 2], 'id': [0, 1, 2]})
+    out = global_rank(ray.data.from_pandas(df), ['v'],
+                      descending=True).to_pandas().sort_values('rank')
+    assert out['v'].tolist() == [3, 2, 1]
