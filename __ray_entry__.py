@@ -1071,6 +1071,48 @@ def q_left_join_orders_customer(sf_dir: str):
         out, ['o_orderkey', 'o_custkey', 'c_mktsegment'])
 
 
+def q_vocabulary_documents(sf_dir: str):
+    """Corpus vocabulary: the 50 most frequent words with exact counts
+    (count desc, word asc tie-break).  Explode is a vectorized
+    per-batch flat-map; counts fold through grouped_agg's map-side
+    combine, then grouped_topk over a single group."""
+    import numpy as np
+    from python_fastjsonschema_ray.pipelines.constraints import grouped_agg
+    ds = _read(sf_dir, 'documents', ['text'])
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        tok_lists = [t.lower().split() for t in batch['text'].fillna('')]
+        counts = np.fromiter(map(len, tok_lists), dtype=np.int64,
+                             count=len(tok_lists))
+        words = np.empty(int(counts.sum()), dtype=object)
+        pos = 0
+        for toks in tok_lists:
+            words[pos:pos + len(toks)] = toks
+            pos += len(toks)
+        return pd.DataFrame({'word': words})
+
+    words = ds.map_batches(explode, batch_format='pandas')
+    vocab = grouped_agg(words, ['word'], {'n': (None, 'count')})
+    top = vocab.to_pandas().sort_values(
+        ['n', 'word'], ascending=[False, True]).head(50)
+    return top.reset_index(drop=True)[['word', 'n']]
+
+
+def q_winsorize_lineitem(sf_dir: str):
+    """Quantile winsorization: l_extendedprice clipped to its exact
+    [p05, p95] discrete quantiles.  Bounds come from the
+    histogram-narrowing exact-quantile fold (counting scans, no sort),
+    then one broadcast vectorized clip pass
+    (stages/scale.py:winsorize_columns)."""
+    from python_fastjsonschema_ray.stages.scale import winsorize_columns
+    ds = _read(sf_dir, 'lineitem', ['l_orderkey', 'l_linenumber',
+                                    'l_extendedprice'])
+    out = winsorize_columns(ds, ['l_extendedprice'],
+                            lower_q=0.05, upper_q=0.95)
+    return _df_with_columns(out, ['l_orderkey', 'l_linenumber',
+                                  'l_extendedprice_w'])
+
+
 def q_rank_documents(sf_dir: str):
     """Exact global ranking (ROW_NUMBER over a total order): documents
     by descending length, doc_id tiebreak.  Dataset.sort
@@ -1540,6 +1582,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'grouped_quantiles_lineitem': q_grouped_quantiles_lineitem,
         'cumsum_lineitem': q_cumsum_lineitem,
         'left_join_orders_customer': q_left_join_orders_customer,
+        'vocabulary_documents': q_vocabulary_documents,
+        'winsorize_lineitem': q_winsorize_lineitem,
         'rank_documents': q_rank_documents,
         'semi_join_lineitem_part': q_semi_join_lineitem_part,
         'anti_join_customer_orders': q_anti_join_customer_orders,
@@ -2138,6 +2182,25 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o LEFT JOIN (
                 SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
             ) c ON o.o_custkey = c.c_custkey
+        """,
+        'vocabulary_documents': """
+            WITH words AS (
+                SELECT unnest(list_filter(
+                           regexp_split_to_array(lower(text), '\\s+'),
+                           x -> x <> '')) AS word
+                FROM documents)
+            SELECT word, count(*) AS n FROM words
+            GROUP BY word ORDER BY n DESC, word ASC LIMIT 50
+        """,
+        'winsorize_lineitem': """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(LEAST(GREATEST(l_extendedprice,
+                           (SELECT quantile_disc(l_extendedprice, 0.05)
+                            FROM lineitem)),
+                           (SELECT quantile_disc(l_extendedprice, 0.95)
+                            FROM lineitem)) AS DOUBLE)
+                       AS l_extendedprice_w
+            FROM lineitem
         """,
         'rank_documents': """
             SELECT doc_id, n_chars,

@@ -82,3 +82,44 @@ def standardize_columns(ds, columns, *, suffix='_z', stats=None):
         return batch
 
     return ds.map_batches(apply, batch_format='pyarrow')
+
+
+def column_quantile_bounds(ds, columns, lower_q, upper_q, **kwargs):
+    """Exact per-column (lower, upper) clip bounds at the given
+    discrete quantiles (``exact_quantile``'s histogram-narrowing
+    passes — no sort, no shuffle; a few counting scans per column)."""
+    from .quantile import exact_quantile
+
+    return {c: (exact_quantile(ds, c, lower_q, **kwargs),
+                exact_quantile(ds, c, upper_q, **kwargs))
+            for c in columns}
+
+
+def winsorize_columns(ds, columns, *, lower_q=0.05, upper_q=0.95,
+                      suffix='_w', bounds=None):
+    """Append ``{col}{suffix}`` columns clipped to the exact
+    [lower_q, upper_q] discrete quantiles — outlier taming before
+    scaling/training.  Pass precomputed ``bounds`` (from
+    :func:`column_quantile_bounds`) to reuse train-split bounds on a
+    validation split.  Null values stay null (SQL
+    LEAST/GREATEST-with-NULL semantics)."""
+    import ray
+
+    columns = list(columns)
+    bounds = bounds or column_quantile_bounds(ds, columns,
+                                              lower_q, upper_q)
+    ref = ray.put({c: bounds[c] for c in columns})
+
+    def apply(batch: pa.Table) -> pa.Table:
+        bd = ray.get(ref)
+        for c in columns:
+            lo, hi = bd[c]
+            v = np.asarray(batch.column(c).cast(pa.float64())
+                           .fill_null(np.nan), dtype=np.float64)
+            w = np.clip(v, lo, hi)          # NaN propagates -> null
+            batch = batch.append_column(
+                c + suffix, pa.array(w, type=pa.float64(),
+                                     from_pandas=True))
+        return batch
+
+    return ds.map_batches(apply, batch_format='pyarrow')

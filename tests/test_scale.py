@@ -64,3 +64,37 @@ def test_standardize_reuse_train_stats(ray_session):
     mean, std = stats['x'][1], stats['x'][2]
     np.testing.assert_allclose(out['x_z'].to_numpy(),
                                (val['x'] - mean) / std, atol=1e-12)
+
+
+def test_winsorize_matches_numpy(ray_session):
+    """Clip bounds are the exact discrete quantiles; nulls stay null;
+    precomputed bounds reuse skips the fold."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from python_fastjsonschema_ray.stages.scale import (
+        column_quantile_bounds, winsorize_columns)
+
+    rng = np.random.default_rng(9)
+    vals = rng.normal(100, 25, 400).round(2)
+    df = pd.DataFrame({'v': vals})
+    df.loc[5, 'v'] = None
+    ds = ray.data.from_pandas(df).repartition(5)
+
+    out = winsorize_columns(ds, ['v'], lower_q=0.1, upper_q=0.9) \
+        .to_pandas()
+    clean = np.sort(df['v'].dropna().to_numpy())
+    n = len(clean)
+    lo = clean[max(int(np.ceil(n * 0.1)) - 1, 0)]
+    hi = clean[max(int(np.ceil(n * 0.9)) - 1, 0)]
+    want = df['v'].clip(lo, hi)
+    assert np.allclose(out['v_w'].to_numpy(), want.to_numpy(),
+                       equal_nan=True)
+    assert out['v_w'].isna().sum() == 1
+
+    # train-stats reuse: apply the same bounds to a different dataset
+    bounds = column_quantile_bounds(ds, ['v'], 0.1, 0.9)
+    assert bounds['v'] == (lo, hi)
+    other = ray.data.from_pandas(pd.DataFrame({'v': [0.0, 1000.0]}))
+    reused = winsorize_columns(other, ['v'], bounds=bounds).to_pandas()
+    assert reused['v_w'].tolist() == [lo, hi]
