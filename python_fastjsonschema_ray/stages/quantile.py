@@ -65,79 +65,132 @@ def _count_min_max(ds, column):
     return n, lo, hi
 
 
-def select_rank(ds, column, rank, *, bins=4096, collect_limit=500_000,
-                max_iters=64):
-    """The ``rank``-th smallest non-null value (0-indexed) of a numeric
-    column, exactly."""
-    n, lo, hi = _count_min_max(ds, column)
+def select_ranks(ds, column, ranks, *, bins=4096, collect_limit=500_000,
+                 max_iters=64, _stats=None):
+    """The ``ranks[i]``-th smallest non-null values (0-indexed),
+    exactly, SHARING every streaming pass across all ranks: one
+    count/min/max scan, then each narrowing iteration computes every
+    active rank's histogram in the same ``map_batches`` sweep (k small
+    count vectors per block instead of k full re-scans), and one final
+    collect pass gathers every still-open range at once.  Asking for
+    p05 and p95 together costs the same scans as asking for one."""
+    import ray  # noqa: F401  (parallelism comes from ds.map_batches)
+
+    ranks = list(ranks)
+    n, lo0, hi0 = _stats if _stats is not None else _count_min_max(ds, column)
     if n == 0:
-        return None
-    if not 0 <= rank < n:
-        raise ValueError('rank {} out of range for {} values'.format(rank, n))
-    remaining, r = n, rank
+        return [None] * len(ranks)
+    for r in ranks:
+        if not 0 <= r < n:
+            raise ValueError(
+                'rank {} out of range for {} values'.format(r, n))
+    states = [{'r': r, 'lo': lo0, 'hi': hi0, 'remaining': n,
+               'stalled': False, 'val': None} for r in ranks]
+
+    def open_states():
+        return [s for s in states if s['val'] is None and not s['stalled']
+                and s['remaining'] > collect_limit and s['lo'] != s['hi']]
 
     for _ in range(max_iters):
-        if remaining <= collect_limit or lo == hi:
+        active = open_states()
+        if not active:
             break
-        edges = np.linspace(lo, hi, bins + 1)
+        edges_list = [np.linspace(s['lo'], s['hi'], bins + 1)
+                      for s in active]
 
-        def hist(batch: pa.Table, edges=edges) -> pa.Table:
-            vals = np.asarray(batch.column(column).drop_null(),
-                              dtype=np.float64)
-            vals = vals[(vals >= edges[0]) & (vals <= edges[-1])]
-            # Bucket i covers [edges[i], edges[i+1]); the last bucket is
-            # closed on the right so `hi` itself is counted.
-            idx = np.minimum(np.searchsorted(edges, vals, side='right') - 1,
-                             len(edges) - 2)
-            counts = np.bincount(idx, minlength=len(edges) - 1)
-            return pa.table({'counts': pa.array([counts.tolist()])})
+        def hist(batch: pa.Table, edges_list=edges_list) -> pa.Table:
+            vals_all = np.asarray(batch.column(column).drop_null(),
+                                  dtype=np.float64)
+            rows = []
+            for edges in edges_list:
+                vals = vals_all[(vals_all >= edges[0])
+                                & (vals_all <= edges[-1])]
+                # Bucket i covers [edges[i], edges[i+1]); the last
+                # bucket is closed on the right so `hi` is counted.
+                idx = np.minimum(
+                    np.searchsorted(edges, vals, side='right') - 1,
+                    len(edges) - 2)
+                rows.append(np.bincount(idx,
+                                        minlength=len(edges) - 1).tolist())
+            return pa.table({'counts': pa.array([rows])})
 
-        folded = np.zeros(bins, dtype=np.int64)
+        folded = [np.zeros(bins, dtype=np.int64) for _ in active]
         for t in _fold_refs(ds.map_batches(hist, batch_format='pyarrow')):
-            for row in t.column('counts').to_pylist():
-                folded += np.asarray(row, dtype=np.int64)
-        cum = np.cumsum(folded)
-        b = int(np.searchsorted(cum, r + 1))
-        r -= int(cum[b - 1]) if b else 0
-        new_lo, new_hi = float(edges[b]), float(edges[b + 1])
-        new_remaining = int(folded[b])
-        if new_remaining == remaining and (new_lo, new_hi) == (lo, hi):
-            break       # cannot narrow further (degenerate float range)
-        lo, hi, remaining = new_lo, new_hi, new_remaining
-        # All but the last bucket are right-open; the selected value
-        # still lies in [lo, hi] because bucket b's values were counted
-        # with exactly those bounds below.
+            for block_rows in t.column('counts').to_pylist():
+                for i, row in enumerate(block_rows):
+                    folded[i] += np.asarray(row, dtype=np.int64)
+        for s, edges, counts in zip(active, edges_list, folded):
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, s['r'] + 1))
+            new_lo, new_hi = float(edges[b]), float(edges[b + 1])
+            new_remaining = int(counts[b])
+            if (new_remaining == s['remaining']
+                    and (new_lo, new_hi) == (s['lo'], s['hi'])):
+                s['stalled'] = True      # degenerate float range
+                continue
+            s['r'] -= int(cum[b - 1]) if b else 0
+            s['lo'], s['hi'], s['remaining'] = new_lo, new_hi, new_remaining
 
-    if lo == hi:
-        return float(lo)
+    for s in states:
+        if s['lo'] == s['hi']:
+            s['val'] = float(s['lo'])
 
-    # Final collect uses the CLOSED range: values equal to `hi` may
-    # belong to the parent's next bucket, but they sort after every
-    # true in-range value and r < (true in-range count), so the r-th
-    # smallest of the union is still the target.  (The same argument
-    # keeps the per-iteration closed-range histograms exact.)
-    def collect(batch: pa.Table) -> pa.Table:
-        vals = np.asarray(batch.column(column).drop_null(),
-                          dtype=np.float64)
-        vals = vals[(vals >= lo) & (vals <= hi)]
-        return pa.table({'v': pa.array(vals, type=pa.float64())})
+    pending = [s for s in states if s['val'] is None]
+    if pending:
+        # One collect pass for ALL still-open ranges.  Each uses its
+        # CLOSED range: values equal to `hi` may belong to the parent's
+        # next bucket, but they sort after every true in-range value
+        # and r < (true in-range count), so the r-th smallest of the
+        # union is still the target.
+        bounds = [(s['lo'], s['hi']) for s in pending]
 
-    parts = _fold_refs(ds.map_batches(collect, batch_format='pyarrow'))
-    vals = (np.concatenate([np.asarray(t.column('v')) for t in parts])
-            if parts else np.empty(0))
-    vals.partition(r)
-    return float(vals[r])
+        def collect(batch: pa.Table, bounds=bounds) -> pa.Table:
+            vals_all = np.asarray(batch.column(column).drop_null(),
+                                  dtype=np.float64)
+            cols = {}
+            for i, (lo, hi) in enumerate(bounds):
+                sel = vals_all[(vals_all >= lo) & (vals_all <= hi)]
+                cols['v{}'.format(i)] = pa.array(sel, type=pa.float64())
+            m = max((len(c) for c in cols.values()), default=0)
+            cols = {k: pa.concat_arrays(
+                        [v, pa.nulls(m - len(v), pa.float64())])
+                    for k, v in cols.items()}
+            return pa.table(cols)
+
+        parts = _fold_refs(ds.map_batches(collect, batch_format='pyarrow'))
+        for i, s in enumerate(pending):
+            name = 'v{}'.format(i)
+            arrs = [np.asarray(t.column(name).drop_null(),
+                               dtype=np.float64) for t in parts]
+            vals = np.concatenate(arrs) if arrs else np.empty(0)
+            vals.partition(s['r'])
+            s['val'] = float(vals[s['r']])
+    return [s['val'] for s in states]
+
+
+def select_rank(ds, column, rank, **kwargs):
+    """The ``rank``-th smallest non-null value (0-indexed) of a numeric
+    column, exactly."""
+    return select_ranks(ds, column, [rank], **kwargs)[0]
+
+
+def exact_quantiles(ds, column, qs, **kwargs):
+    """Exact ``quantile_disc`` for several quantiles in shared passes:
+    rank ``max(ceil(n*q)-1, 0)`` per q, one count scan + shared
+    narrowing/collect sweeps (see :func:`select_ranks`)."""
+    stats = _count_min_max(ds, column)
+    n = stats[0]
+    if n == 0:
+        return [None] * len(list(qs))
+    ranks = [max(int(math.ceil(n * q)) - 1, 0) for q in qs]
+    return select_ranks(ds, column, ranks, _stats=stats, **kwargs)
 
 
 def exact_quantile(ds, column, q, **kwargs):
     """Exact ``quantile_disc`` semantics (DuckDB/Postgres discrete
     quantile): the element at 0-indexed rank ``max(ceil(n*q)-1, 0)``
     among the sorted non-null values."""
-    n, _, _ = _count_min_max(ds, column)
-    if n == 0:
-        return None
-    rank = max(int(math.ceil(n * q)) - 1, 0)
-    return select_rank(ds, column, rank, **kwargs)
+    return exact_quantiles(ds, column, [q], **kwargs)[0]
 
 
 def grouped_quantile(ds, keys, value_column, qs, *, num_buckets=None,

@@ -88,11 +88,13 @@ def column_quantile_bounds(ds, columns, lower_q, upper_q, **kwargs):
     """Exact per-column (lower, upper) clip bounds at the given
     discrete quantiles (``exact_quantile``'s histogram-narrowing
     passes — no sort, no shuffle; a few counting scans per column)."""
-    from .quantile import exact_quantile
+    from .quantile import exact_quantiles
 
-    return {c: (exact_quantile(ds, c, lower_q, **kwargs),
-                exact_quantile(ds, c, upper_q, **kwargs))
-            for c in columns}
+    out = {}
+    for c in columns:
+        lo, hi = exact_quantiles(ds, c, [lower_q, upper_q], **kwargs)
+        out[c] = (lo, hi)
+    return out
 
 
 def winsorize_columns(ds, columns, *, lower_q=0.05, upper_q=0.95,

@@ -121,3 +121,31 @@ def test_grouped_quantile_null_and_singleton_groups(ray_session):
     assert pd.isna(by_k['c'])      # all-null group -> null quantile
     assert by_k[None] == 7.0       # null key is its own SQL group
     assert len(out) == 4
+
+
+def test_select_ranks_shared_passes_match_singletons(ray_session):
+    """Multi-rank narrowing returns exactly what per-rank calls return,
+    including extreme ranks and duplicate-heavy data."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from python_fastjsonschema_ray.stages.quantile import (
+        exact_quantiles, select_rank, select_ranks)
+
+    rng = np.random.default_rng(21)
+    vals = np.concatenate([rng.normal(0, 1, 2000).round(3),
+                           np.full(500, 7.25)])       # duplicate mass
+    ds = ray.data.from_pandas(pd.DataFrame({'v': vals})).repartition(6)
+
+    ranks = [0, 1, 100, 1250, len(vals) - 1]
+    multi = select_ranks(ds, 'v', ranks, collect_limit=200)
+    srt = np.sort(vals)
+    assert multi == [float(srt[r]) for r in ranks]
+    for r, got in zip(ranks, multi):
+        assert select_rank(ds, 'v', r, collect_limit=200) == got
+
+    qs = [0.05, 0.5, 0.95]
+    got = exact_quantiles(ds, 'v', qs, collect_limit=200)
+    want = [float(srt[max(int(np.ceil(len(vals) * q)) - 1, 0)])
+            for q in qs]
+    assert got == want
