@@ -75,7 +75,19 @@ def read_table(path: str, columns=None, **kwargs):
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
-def write_table(ds, path: str, **kwargs):
-    """Partitioned parquet sink (one file per block — resumable layout)."""
-    ds.write_parquet(path, **kwargs)
+def write_table(ds, path: str, format: str = 'parquet', **kwargs):
+    """Partitioned sink (one file per block — resumable layout).
+
+    ``format``: 'parquet' (default; pass ``partition_cols=['col']`` for
+    hive-partitioned output readable back with selective directory
+    reads), 'json'/'jsonl' (one JSON object per line, the reference's
+    native document format), or 'csv'."""
+    if format in ('json', 'jsonl', 'ndjson'):
+        ds.write_json(path, **kwargs)
+    elif format == 'csv':
+        ds.write_csv(path, **kwargs)
+    elif format == 'parquet':
+        ds.write_parquet(path, **kwargs)
+    else:
+        raise ValueError('unknown format {!r}'.format(format))
     return path

@@ -116,3 +116,31 @@ def test_reader_jsonl_validates_end_to_end(ray_session, tmp_path):
     out = validate_dataset(ds, {'properties': {'v': {'maximum': 10}}})
     df = out.to_pandas().sort_values('v')
     assert df['valid'].tolist() == [True, True, True, False]
+
+
+def test_write_table_roundtrip_formats(ray_session, tmp_path):
+    """write_table emits parquet/JSONL/CSV shards that read_table reads
+    back identically (incl. hive-partitioned parquet)."""
+    import pandas as pd
+    import ray.data
+    from python_fastjsonschema_ray.sources.reader import (
+        read_table, write_table)
+    df = pd.DataFrame({'id': range(6), 'lang': list('aabbcc'),
+                       'v': [x * 0.5 for x in range(6)]})
+    ds = ray.data.from_pandas(df).repartition(2)
+
+    for fmt in ('parquet', 'jsonl', 'csv'):
+        out = str(tmp_path / fmt)
+        write_table(ds, out, format=fmt)
+        import glob as g
+        files = sorted(g.glob(out + '/*'))
+        assert files, fmt
+        back = read_table(files).to_pandas().sort_values('id')
+        assert back['v'].tolist() == df['v'].tolist(), fmt
+
+    part = str(tmp_path / 'part')
+    write_table(ds, part, partition_cols=['lang'])
+    import os
+    assert sorted(os.listdir(part)) == ['lang=a', 'lang=b', 'lang=c']
+    one = read_table(part + '/lang=b').to_pandas()
+    assert sorted(one['id']) == [2, 3]
