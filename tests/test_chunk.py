@@ -127,3 +127,36 @@ def test_mixture_sample_exact_matches_pandas(ray_session):
     assert sizes['en'] == 17 and sizes['fr'] == 5
     assert sizes['de'] == (df['g'] == 'de').sum()   # quota exceeds group
     assert 'zh' not in sizes.index                  # absent from quotas
+
+
+def test_chunk_then_pack_pipeline(ray_session):
+    """End-to-end pretraining prep: chunk documents, count words per
+    chunk, lay chunks into fixed token sequences via packing_plan.
+    Spans must tile the concatenated stream exactly."""
+    import numpy as np
+    import ray.data
+    from python_fastjsonschema_ray.stages.chunk import chunk_text
+    from python_fastjsonschema_ray.stages.pack import packing_plan
+
+    docs = [{'doc_id': i, 'text': ' '.join(
+        'w%d' % ((i * 37 + j) % 11) for j in range(20 + i * 5))}
+        for i in range(12)]
+    ds = ray.data.from_items(docs)
+    chunks = chunk_text(ds, 'doc_id', 'text', chunk_chars=40, overlap=0)
+
+    def count(batch):
+        batch = batch.copy()
+        batch['chunk_id'] = batch['doc_id'] * 1000 + batch['chunk_idx']
+        batch['n_tokens'] = batch['chunk_text'].str.split().str.len()
+        return batch[['chunk_id', 'n_tokens']]
+
+    counted = chunks.map_batches(count, batch_format='pandas')
+    plan = packing_plan(counted, 'chunk_id', 'n_tokens',
+                        max_tokens=16).to_pandas().sort_values('id')
+
+    ref = counted.to_pandas().sort_values('chunk_id')
+    starts = np.concatenate(([0], np.cumsum(
+        np.maximum(ref['n_tokens'].to_numpy(), 1))[:-1]))
+    assert plan['id'].tolist() == ref['chunk_id'].tolist()
+    assert plan['seq_first'].tolist() == (starts // 16).tolist()
+    assert plan['seq_offset'].tolist() == (starts % 16).tolist()
