@@ -174,6 +174,11 @@ def main():
         'token_count_documents', 'minhash_pairs_documents', 'ann_topk',
         'dedup_exact_documents', 'unique_events', 'components_orders',
     }
+    if '--only' in sys.argv:
+        # Profiling aid: bench only the named queries (comma-separated,
+        # any queries() name).  The default set stays the driver's.
+        names = sys.argv[sys.argv.index('--only') + 1].split(',')
+        consume = set(names)
     for name in sorted(consume & set(queries)):
         fn = queries[name]
 
