@@ -1071,6 +1071,18 @@ def q_left_join_orders_customer(sf_dir: str):
         out, ['o_orderkey', 'o_custkey', 'c_mktsegment'])
 
 
+def q_split_documents(sf_dir: str):
+    """Deterministic train/val/test assignment (80/10/10) by hash range
+    of doc_id: disjoint, exhaustive, stable across re-runs and cluster
+    layouts.  Pure per-batch map (stages/sample.py:deterministic_split);
+    the first split's membership rule is exactly deterministic_sample's."""
+    from python_fastjsonschema_ray.stages.sample import deterministic_split
+    ds = _read(sf_dir, 'documents', ['doc_id'])
+    out = deterministic_split(ds, 'doc_id',
+                              {'train': 0.8, 'val': 0.1, 'test': 0.1})
+    return _df_with_columns(out, ['doc_id', 'split'])
+
+
 def q_vocabulary_documents(sf_dir: str):
     """Corpus vocabulary: the 50 most frequent words with exact counts
     (count desc, word asc tie-break).  Explode is a vectorized
@@ -1582,6 +1594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'grouped_quantiles_lineitem': q_grouped_quantiles_lineitem,
         'cumsum_lineitem': q_cumsum_lineitem,
         'left_join_orders_customer': q_left_join_orders_customer,
+        'split_documents': q_split_documents,
         'vocabulary_documents': q_vocabulary_documents,
         'winsorize_lineitem': q_winsorize_lineitem,
         'rank_documents': q_rank_documents,
@@ -2182,6 +2195,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o LEFT JOIN (
                 SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
             ) c ON o.o_custkey = c.c_custkey
+        """,
+        'split_documents': """
+            SELECT doc_id,
+                   CASE WHEN (doc_id * 2654435761) % 1000000 < 800000
+                            THEN 'train'
+                        WHEN (doc_id * 2654435761) % 1000000 < 900000
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
         """,
         'vocabulary_documents': """
             WITH words AS (

@@ -134,3 +134,40 @@ def mixture_sample_exact(ds, group_column, key_column, quotas, *, salt=0,
 
     out = bucketed.groupby('_bucket').map_groups(fold, batch_format='pandas')
     return out.drop_columns(['_sample_rank'])
+
+
+def deterministic_split(ds, key_column, fractions, *, modulus=1_000_000,
+                        salt=0, split_column='split'):
+    """Append a ``split`` label column partitioning rows into named
+    fractions (e.g. ``{'train': 0.8, 'val': 0.1, 'test': 0.1}``) by
+    hash range of the row key — the train/val/test assignment step.
+    Membership is a pure function of (key, salt): stable across
+    re-runs, resumes and cluster layouts, and the splits are exactly
+    disjoint and exhaustive (fractions must sum to ~1; the last named
+    split absorbs rounding).  Null keys get a null label.  Pure
+    per-batch map, no shuffle."""
+    import pyarrow.compute as pc
+
+    names = list(fractions)
+    total = float(sum(fractions.values()))
+    if not 0.999 <= total <= 1.001:
+        raise ValueError('fractions must sum to 1 (got {})'.format(total))
+    edges = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += fractions[name] / total
+        edges.append(int(acc * modulus))
+    edges.append(modulus)          # last split absorbs rounding
+
+    def label(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_column).combine_chunks()
+        vals = np.asarray(k.cast(pa.int64()).fill_null(0), dtype=np.int64)
+        with np.errstate(over='ignore'):
+            h = ((vals + np.int64(salt)) * np.int64(KNUTH)) % np.int64(modulus)
+        idx = np.searchsorted(edges, h, side='right')
+        lab = pa.DictionaryArray.from_arrays(
+            pa.array(idx, type=pa.int8()), pa.array(names)).cast(pa.string())
+        lab = pc.if_else(pc.is_valid(k), lab, pa.nulls(len(k), pa.string()))
+        return batch.append_column(split_column, lab)
+
+    return ds.map_batches(label, batch_format='pyarrow')

@@ -160,3 +160,39 @@ def test_chunk_then_pack_pipeline(ray_session):
     assert plan['id'].tolist() == ref['chunk_id'].tolist()
     assert plan['seq_first'].tolist() == (starts // 16).tolist()
     assert plan['seq_offset'].tolist() == (starts % 16).tolist()
+
+
+def test_deterministic_split_disjoint_exhaustive(ray_session):
+    """Splits are disjoint, exhaustive, reproducible, and the first
+    split's membership equals deterministic_sample at the same
+    fraction/salt (same hash-range rule)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from python_fastjsonschema_ray.stages.sample import (
+        deterministic_sample, deterministic_split)
+
+    df = pd.DataFrame({'id': np.arange(2000, dtype='int64')})
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = deterministic_split(ds, 'id',
+                              {'train': 0.8, 'val': 0.1, 'test': 0.1}) \
+        .to_pandas()
+    assert len(out) == 2000
+    counts = out['split'].value_counts()
+    assert set(counts.index) == {'train', 'val', 'test'}
+    assert abs(counts['train'] - 1600) < 80      # hash-range tolerance
+    # reproducible
+    again = deterministic_split(ds, 'id',
+                                {'train': 0.8, 'val': 0.1, 'test': 0.1}) \
+        .to_pandas().sort_values('id')
+    assert again['split'].tolist() == \
+        out.sort_values('id')['split'].tolist()
+    # split 0 == deterministic_sample membership at the same fraction
+    sample = set(deterministic_sample(ds, 'id', 0.8)
+                 .to_pandas()['id'])
+    train = set(out[out['split'] == 'train']['id'])
+    assert train == sample
+
+    import pytest
+    with pytest.raises(ValueError):
+        deterministic_split(ds, 'id', {'a': 0.5, 'b': 0.2})
