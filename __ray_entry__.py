@@ -1071,6 +1071,24 @@ def q_left_join_orders_customer(sf_dir: str):
         out, ['o_orderkey', 'o_custkey', 'c_mktsegment'])
 
 
+def q_curate_documents(sf_dir: str):
+    """The composed curation recipe end-to-end (rows-only: the minhash
+    stage has no SQL equivalent): normalize -> lang/quality filter ->
+    exact dedup (fingerprint winners, broadcast semi-join) -> MinHash
+    near-dedup -> repetition ceiling -> chunk -> split labels.  Every
+    step is an engine operator; see pipelines/curate.py."""
+    import ray.data
+    from python_fastjsonschema_ray.pipelines.curate import curate_corpus
+    ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
+    out = curate_corpus(ds, languages={'en', 'fr', 'de', 'es', 'zh'},
+                        min_quality=0.1, near_dup_threshold=0.8,
+                        max_dup_char_ratio=0.999, chunk_chars=200,
+                        overlap=40,
+                        split_fractions={'train': 0.9, 'val': 0.1})
+    return _df_with_columns(
+        out, ['doc_id', 'chunk_idx', 'chunk_text', 'split'])
+
+
 def q_split_documents(sf_dir: str):
     """Deterministic train/val/test assignment (80/10/10) by hash range
     of doc_id: disjoint, exhaustive, stable across re-runs and cluster
@@ -1621,6 +1639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'mixture_sample_documents': q_mixture_sample_documents,
         'plugin_even_lineitem': q_plugin_even_lineitem,
         # rows-only (no SQL equivalent):
+        'curate_documents': q_curate_documents,
         'langid_documents': q_langid_documents,
         'fingerprint_documents': q_fingerprint_documents,
         'simhash_documents': q_simhash_documents,
