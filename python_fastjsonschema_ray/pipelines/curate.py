@@ -88,6 +88,15 @@ def curate_corpus(ds, *, id_column='doc_id', text_column='text',
         ds = ds.map_batches(keep, batch_format='pandas')
         ds = checkpoint(ds, 'after_lang_quality')
 
+    # The next two stages FAN OUT over `ds` (winner-id extraction and
+    # the minhash banding pass each execute the dataset besides the
+    # main flow), so pin the analyzed corpus in the object store once —
+    # otherwise the normalize+analyze prefix re-executes per consumer.
+    # At 100 TB this is where you would checkpoint to parquet instead
+    # (write_table's resumable layout); materialize() is the in-memory
+    # spillable equivalent.
+    ds = ds.materialize()
+
     # 4. Exact dedup: winner ids per distinct fingerprint (one row per
     #    distinct key per block moves), then a broadcast semi-join keeps
     #    the winners — ids only ever cross the wire.
@@ -97,8 +106,10 @@ def curate_corpus(ds, *, id_column='doc_id', text_column='text',
     ds = checkpoint(ds, 'after_exact_dedup')
 
     # 5. MinHash-LSH near-dedup (loser ids broadcast; band triples are
-    #    the only shuffle).
+    #    the only shuffle).  Same fan-out shape: banding + the keep
+    #    filter both read `ds`.
     if near_dup_threshold is not None:
+        ds = ds.materialize()
         ds = dedup_minhash(ds, id_column, text_column,
                            threshold=near_dup_threshold,
                            transitive=transitive)
