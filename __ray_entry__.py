@@ -1071,6 +1071,16 @@ def q_left_join_orders_customer(sf_dir: str):
         out, ['o_orderkey', 'o_custkey', 'c_mktsegment'])
 
 
+def q_pivot_orders(sf_dir: str):
+    """Wide reshape: order counts per priority x status.  grouped_agg
+    partials on (priority, status) — one partial row per distinct pair
+    per block — then a result-sized driver pivot
+    (pipelines/constraints.py:pivot_table)."""
+    from python_fastjsonschema_ray.pipelines.constraints import pivot_table
+    ds = _read(sf_dir, 'orders', ['o_orderpriority', 'o_orderstatus'])
+    return pivot_table(ds, ['o_orderpriority'], 'o_orderstatus')
+
+
 def q_curate_documents(sf_dir: str):
     """The composed curation recipe end-to-end (rows-only: the minhash
     stage has no SQL equivalent): normalize -> lang/quality filter ->
@@ -1612,6 +1622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'grouped_quantiles_lineitem': q_grouped_quantiles_lineitem,
         'cumsum_lineitem': q_cumsum_lineitem,
         'left_join_orders_customer': q_left_join_orders_customer,
+        'pivot_orders': q_pivot_orders,
         'split_documents': q_split_documents,
         'vocabulary_documents': q_vocabulary_documents,
         'winsorize_lineitem': q_winsorize_lineitem,
@@ -2214,6 +2225,16 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o LEFT JOIN (
                 SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
             ) c ON o.o_custkey = c.c_custkey
+        """,
+        'pivot_orders': """
+            SELECT o_orderpriority,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1
+                            ELSE 0 END) AS BIGINT) AS "F",
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1
+                            ELSE 0 END) AS BIGINT) AS "O",
+                   CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1
+                            ELSE 0 END) AS BIGINT) AS "P"
+            FROM orders GROUP BY o_orderpriority
         """,
         'split_documents': """
             SELECT doc_id,

@@ -872,3 +872,37 @@ def drift_check(ds, column, reference_profile, edges, *, psi_threshold=0.2,
         'drifted': bool(p > psi_threshold or k > ks_threshold),
         'actual_counts': actual.tolist(),
     }
+
+
+def pivot_table(ds, index_columns, pivot_column, value_column=None,
+                agg='count', fill=0, **agg_kwargs):
+    """Wide reshape: one row per distinct ``index_columns`` tuple, one
+    column per distinct ``pivot_column`` value (sorted), cells holding
+    ``agg`` of ``value_column`` (SQL ``GROUP BY index`` with
+    ``agg(CASE WHEN pivot=v THEN value END)`` columns).
+
+    Distribution-wise this is exactly ``grouped_agg`` on
+    (index, pivot) — per-block Arrow partials, bucketed fold, at most
+    one partial row per distinct (index, pivot) pair per block — and
+    the reshape happens on the RESULT (``index × pivot`` cells, driver
+    heap), which is the operator's contract: pivot output is
+    wide-format and result-sized by construction.  Returns a pandas
+    DataFrame with index columns first, pivot-value columns sorted."""
+    import pandas as pd
+
+    index_columns = list(index_columns)
+    spec = ((None, 'count') if agg == 'count'
+            else (value_column, agg))
+    if spec[1] != 'count' and value_column is None:
+        raise ValueError("value_column is required for agg != 'count'")
+    long = grouped_agg(ds, index_columns + [pivot_column],
+                       {'_cell': spec}, **agg_kwargs)
+    df = long.to_pandas()
+    if df.empty:
+        return pd.DataFrame(columns=index_columns)
+    wide = df.pivot_table(index=index_columns, columns=pivot_column,
+                          values='_cell', aggfunc='first',
+                          fill_value=fill)
+    wide.columns = [str(c) for c in wide.columns]
+    wide = wide[sorted(wide.columns)]
+    return wide.reset_index()
