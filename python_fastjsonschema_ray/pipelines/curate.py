@@ -33,7 +33,8 @@ def curate_corpus(ds, *, id_column='doc_id', text_column='text',
                   bench_ds=None, bench_text_column='text',
                   max_dup_char_ratio=None,
                   chunk_chars=None, overlap=0,
-                  split_fractions=None, stats=False):
+                  split_fractions=None, stats=False,
+                  checkpoint_dir=None):
     """Run the standard curation recipe over a (id, text) corpus.
 
     Returns the curated Dataset, or ``(Dataset, stats_dict)`` with
@@ -44,7 +45,16 @@ def curate_corpus(ds, *, id_column='doc_id', text_column='text',
     ``max_dup_char_ratio`` (Gopher-style repetition ceiling);
     ``chunk_chars`` switches the output to chunk rows;
     ``split_fractions`` (e.g. ``{'train': .9, 'val': .1}``) appends a
-    deterministic split label keyed on ``id_column``."""
+    deterministic split label keyed on ``id_column``.
+
+    ``checkpoint_dir`` makes the run RESUMABLE: each stage's output is
+    written once as partitioned parquet under
+    ``{checkpoint_dir}/{stage}/`` (atomic per-stage directory commit —
+    written to a ``.tmp`` path and renamed), and a re-run skips every
+    stage whose directory already committed, restarting from the first
+    missing one.  This is the 100-TB posture: a crashed curation job
+    re-reads the last finished stage instead of recomputing the
+    corpus."""
     import numpy as np
 
     from ..stages.chunk import RepetitionStage, chunk_text
@@ -59,8 +69,11 @@ def curate_corpus(ds, *, id_column='doc_id', text_column='text',
     counts = {}
 
     def checkpoint(d, name):
-        if stats:
+        if checkpoint_dir is not None:
+            d = _stage_checkpoint(d, checkpoint_dir, name)
+        elif stats:
             d = d.materialize()
+        if stats:
             counts[name] = d.count()
         return d
 
@@ -93,9 +106,11 @@ def curate_corpus(ds, *, id_column='doc_id', text_column='text',
     # main flow), so pin the analyzed corpus in the object store once —
     # otherwise the normalize+analyze prefix re-executes per consumer.
     # At 100 TB this is where you would checkpoint to parquet instead
-    # (write_table's resumable layout); materialize() is the in-memory
-    # spillable equivalent.
-    ds = ds.materialize()
+    # (write_table's resumable layout — exactly what ``checkpoint_dir``
+    # does, making the materialize redundant); materialize() is the
+    # in-memory spillable equivalent.
+    if checkpoint_dir is None:
+        ds = ds.materialize()
 
     # 4. Exact dedup: winner ids per distinct fingerprint (one row per
     #    distinct key per block moves), then a broadcast semi-join keeps
@@ -109,7 +124,8 @@ def curate_corpus(ds, *, id_column='doc_id', text_column='text',
     #    the only shuffle).  Same fan-out shape: banding + the keep
     #    filter both read `ds`.
     if near_dup_threshold is not None:
-        ds = ds.materialize()
+        if checkpoint_dir is None:
+            ds = ds.materialize()
         ds = dedup_minhash(ds, id_column, text_column,
                            threshold=near_dup_threshold,
                            transitive=transitive)
@@ -147,8 +163,33 @@ def curate_corpus(ds, *, id_column='doc_id', text_column='text',
     if split_fractions is not None:
         ds = deterministic_split(ds, id_column, split_fractions)
 
+    if checkpoint_dir is not None:
+        ds = _stage_checkpoint(ds, checkpoint_dir, 'output')
     if stats:
-        ds = ds.materialize()
+        if checkpoint_dir is None:
+            ds = ds.materialize()
         counts['output'] = ds.count()
         return ds, counts
     return ds
+
+
+def _stage_checkpoint(ds, root, name):
+    """Write-once parquet checkpoint: commit ``{root}/{name}`` by
+    atomic rename of a ``.tmp`` write; an existing committed directory
+    short-circuits to a read (resume).  Execution of ``ds`` only
+    happens on the first run."""
+    import os
+    import shutil
+
+    from ..sources.reader import read_table, write_table
+
+    final = os.path.join(root, name)
+    if os.path.isdir(final):
+        return read_table(final)
+    tmp = final + '.tmp'
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)           # half-written crash leftover
+    os.makedirs(tmp)
+    write_table(ds, tmp)
+    os.rename(tmp, final)
+    return read_table(final)

@@ -255,6 +255,10 @@ def _textmap_from_refs(refs, id_column, text_column):
     def build():
         text_of = {}
         for t in (_as_arrow(x) for x in ray.get(list(refs))):
+            # Materialized empty blocks can be SCHEMALESS (zero columns
+            # — seen from parquet-read lineage); skip rather than crash.
+            if not t.num_rows or id_column not in t.schema.names:
+                continue
             text_of.update(zip(t.column(id_column).to_pylist(),
                                t.column(text_column).to_pylist()))
         return text_of, {}          # (id → text, shingle cache)

@@ -61,3 +61,41 @@ def test_curate_corpus_lazy_no_stats(ray_session):
     df = out.to_pandas()
     assert set(df.columns) == {'doc_id', 'chunk_idx', 'chunk_text'}
     assert df['doc_id'].nunique() == 5      # only exact dup removed
+
+
+def test_curate_corpus_checkpoint_resume(ray_session, tmp_path):
+    """Per-stage parquet checkpoints: a second run reuses committed
+    stage directories (mtimes unchanged) and produces identical
+    output; deleting a late stage re-runs only from there."""
+    import os
+    from python_fastjsonschema_ray.pipelines.curate import curate_corpus
+
+    root = str(tmp_path / 'ckpt')
+    os.makedirs(root)
+    kwargs = dict(near_dup_threshold=0.6, max_dup_char_ratio=0.9,
+                  split_fractions={'train': 0.8, 'val': 0.2},
+                  stats=True, checkpoint_dir=root)
+    out1, stats1 = curate_corpus(_corpus(), **kwargs)
+    df1 = out1.to_pandas().sort_values('doc_id').reset_index(drop=True)
+    assert sorted(os.listdir(root)) == [
+        'after_exact_dedup', 'after_near_dedup', 'after_repetition',
+        'input', 'output']
+    mtimes = {d: os.path.getmtime(os.path.join(root, d))
+              for d in os.listdir(root)}
+
+    out2, stats2 = curate_corpus(_corpus(), **kwargs)
+    df2 = out2.to_pandas().sort_values('doc_id').reset_index(drop=True)
+    assert stats1 == stats2
+    assert df1.equals(df2)
+    for d, m in mtimes.items():          # nothing rewritten
+        assert os.path.getmtime(os.path.join(root, d)) == m
+
+    # delete the final stage: only it is recomputed, earlier stand
+    import shutil
+    shutil.rmtree(os.path.join(root, 'output'))
+    out3, stats3 = curate_corpus(_corpus(), **kwargs)
+    assert stats3 == stats1
+    assert out3.to_pandas().sort_values('doc_id') \
+        .reset_index(drop=True).equals(df1)
+    for d in ('input', 'after_exact_dedup', 'after_near_dedup'):
+        assert os.path.getmtime(os.path.join(root, d)) == mtimes[d]
