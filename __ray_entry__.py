@@ -1071,6 +1071,20 @@ def q_left_join_orders_customer(sf_dir: str):
         out, ['o_orderkey', 'o_custkey', 'c_mktsegment'])
 
 
+def q_token_budget_documents(sf_dir: str):
+    """Budgeted mixture: per language, keep docs in hash order of
+    doc_id while the running n_chars total stays within the language's
+    token budget (en 20k, zh 8k chars) — mixture targets in TOKENS, the
+    data-mixing primitive.  Hash-rank map + grouped_scan cumsum (one
+    bucketed exchange) + broadcast budget cut
+    (stages/sample.py:token_budget_sample)."""
+    from python_fastjsonschema_ray.stages.sample import token_budget_sample
+    ds = _read(sf_dir, 'documents', ['doc_id', 'lang', 'n_chars'])
+    out = token_budget_sample(ds, 'lang', 'doc_id', 'n_chars',
+                              {'en': 20000, 'zh': 8000})
+    return _df_with_columns(out, ['lang', 'doc_id', 'n_chars'])
+
+
 def q_pivot_orders(sf_dir: str):
     """Wide reshape: order counts per priority x status.  grouped_agg
     partials on (priority, status) — one partial row per distinct pair
@@ -1622,6 +1636,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'grouped_quantiles_lineitem': q_grouped_quantiles_lineitem,
         'cumsum_lineitem': q_cumsum_lineitem,
         'left_join_orders_customer': q_left_join_orders_customer,
+        'token_budget_documents': q_token_budget_documents,
         'pivot_orders': q_pivot_orders,
         'split_documents': q_split_documents,
         'vocabulary_documents': q_vocabulary_documents,
@@ -2225,6 +2240,19 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o LEFT JOIN (
                 SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'
             ) c ON o.o_custkey = c.c_custkey
+        """,
+        'token_budget_documents': """
+            SELECT lang, doc_id, n_chars FROM (
+                SELECT lang, doc_id, n_chars,
+                       SUM(n_chars) OVER (
+                           PARTITION BY lang
+                           ORDER BY (doc_id * 2654435761) % 1000000000
+                                    ASC, doc_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS run
+                FROM documents WHERE lang IN ('en', 'zh'))
+            WHERE (lang = 'en' AND run <= 20000)
+               OR (lang = 'zh' AND run <= 8000)
         """,
         'pivot_orders': """
             SELECT o_orderpriority,

@@ -171,3 +171,52 @@ def deterministic_split(ds, key_column, fractions, *, modulus=1_000_000,
         return batch.append_column(split_column, lab)
 
     return ds.map_batches(label, batch_format='pyarrow')
+
+
+def token_budget_sample(ds, group_column, key_column, token_column,
+                        budgets, *, salt=0, modulus=1_000_000_000):
+    """Budgeted mixture sampling: per group ``g``, keep documents in
+    deterministic hash order of the key while the RUNNING TOTAL of
+    ``token_column`` (including the current document) stays within
+    ``budgets[g]`` — mixture targets expressed in tokens instead of
+    document counts (long documents consume more of their group's
+    budget).  The first document crossing the boundary is dropped, as
+    is everything after it in hash order.  Groups absent from
+    ``budgets`` are dropped.
+
+    Distribution: the hash-rank stage is a pure per-batch map; the
+    running total is ``grouped_scan``'s one bucketed (key, order,
+    value) exchange; the budget cut is a per-batch filter against the
+    broadcast dict.  SQL-oracle-equivalent to
+    ``SUM(tokens) OVER (PARTITION BY g ORDER BY hash, key) <= budget``."""
+    import pyarrow.compute as pc
+
+    from .scan import grouped_scan
+
+    budgets = dict(budgets)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        vals = np.asarray(batch.column(key_column).combine_chunks()
+                          .cast(pa.int64()).fill_null(-1), dtype=np.int64)
+        with np.errstate(over='ignore'):
+            h = ((vals + np.int64(salt)) * np.int64(KNUTH)) % np.int64(modulus)
+        return batch.append_column('_sample_rank',
+                                   pa.array(h, type=pa.int64()))
+
+    ranked = ds.select_columns(
+        [group_column, key_column, token_column]).map_batches(
+        rank, batch_format='pyarrow')
+    scanned = grouped_scan(ranked, [group_column],
+                           ['_sample_rank', key_column], token_column,
+                           ops=('cumsum',))
+
+    def within_budget(batch: pa.Table) -> pa.Table:
+        groups = batch.column(group_column).to_pylist()
+        cap = np.asarray([budgets.get(g, -1.0) for g in groups],
+                         dtype=np.float64)
+        run = np.asarray(batch.column('cumsum').combine_chunks()
+                         .fill_null(np.inf), dtype=np.float64)
+        return batch.filter(pa.array(run <= cap)) \
+            .drop_columns(['_sample_rank', 'cumsum'])
+
+    return scanned.map_batches(within_budget, batch_format='pyarrow')

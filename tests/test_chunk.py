@@ -196,3 +196,36 @@ def test_deterministic_split_disjoint_exhaustive(ray_session):
     import pytest
     with pytest.raises(ValueError):
         deterministic_split(ds, 'id', {'a': 0.5, 'b': 0.2})
+
+
+def test_token_budget_sample_matches_pandas(ray_session):
+    """Per-group hash-ordered prefix under a token budget equals the
+    pandas window reference; groups without a budget drop."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from python_fastjsonschema_ray.stages.sample import (
+        KNUTH, token_budget_sample)
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({
+        'k': np.arange(300, dtype='int64'),
+        'g': rng.choice(['en', 'zh', 'xx'], 300),
+        'tok': rng.integers(10, 100, 300).astype('int64'),
+    })
+    budgets = {'en': 1500, 'zh': 400}
+    ds = ray.data.from_pandas(df).repartition(6)
+    out = token_budget_sample(ds, 'g', 'k', 'tok', budgets).to_pandas()
+
+    ref = df.copy()
+    ref['_h'] = (ref['k'] * KNUTH) % 1_000_000_000
+    ref = ref.sort_values(['_h', 'k'])
+    ref['_run'] = ref.groupby('g')['tok'].cumsum()
+    want = ref[ref['_run'] <= ref['g'].map(budgets).fillna(-1)]
+    assert set(out['k']) == set(want['k'])
+    assert set(out['g']) <= {'en', 'zh'}
+    # each group's spend is within budget
+    spend = out.groupby('g')['tok'].sum()
+    for g, b in budgets.items():
+        if g in spend.index:
+            assert spend[g] <= b
