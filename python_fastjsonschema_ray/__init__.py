@@ -36,15 +36,47 @@ def __getattr__(name):
         from .pipelines import validate as _validate
         return getattr(_validate, name)
     if name in ('column_stats', 'check_unique', 'check_referential',
-                'drift_check', 'dedup_exact', 'grouped_agg'):
+                'drift_check', 'dedup_exact', 'grouped_agg',
+                'grouped_topk', 'distinct_count', 'heavy_hitters',
+                'pivot_table'):
         from .pipelines import constraints as _constraints
         return getattr(_constraints, name)
     if name in ('connected_components', 'connected_components_distributed'):
         from .stages import components as _components
         return getattr(_components, name)
-    if name in ('broadcast_lookup_join', 'shuffle_join'):
+    if name in ('broadcast_lookup_join', 'shuffle_join', 'asof_join',
+                'broadcast_interval_join'):
         from .stages import join as _join
         return getattr(_join, name)
+    if name in ('deterministic_sample', 'stratified_sample_exact',
+                'mixture_quotas', 'mixture_sample_exact',
+                'deterministic_split', 'token_budget_sample'):
+        from .stages import sample as _sample
+        return getattr(_sample, name)
+    if name in ('chunk_text', 'repetition_stats'):
+        from .stages import chunk as _chunk
+        return getattr(_chunk, name)
+    if name in ('grouped_scan', 'global_rank'):
+        from .stages import scan as _scan
+        return getattr(_scan, name)
+    if name in ('exact_quantile', 'exact_quantiles', 'select_rank',
+                'select_ranks'):
+        from .stages import quantile as _quantile
+        return getattr(_quantile, name)
+    if name in ('standardize_columns', 'winsorize_columns',
+                'column_moments', 'column_quantile_bounds'):
+        from .stages import scale as _scale
+        return getattr(_scale, name)
+    if name in ('dedup_minhash', 'minhash_duplicate_pairs',
+                'ngram_jaccard_pairs'):
+        from .stages import dedup as _dedup
+        return getattr(_dedup, name)
+    if name in ('read_table', 'write_table'):
+        from .sources import reader as _reader
+        return getattr(_reader, name)
+    if name == 'curate_corpus':
+        from .pipelines import curate as _curate
+        return _curate.curate_corpus
     if name == 'run_flagship':
         from .pipelines import flagship as _flagship
         return _flagship.run_flagship

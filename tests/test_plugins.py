@@ -144,3 +144,21 @@ def test_write_table_roundtrip_formats(ray_session, tmp_path):
     assert sorted(os.listdir(part)) == ['lang=a', 'lang=b', 'lang=c']
     one = read_table(part + '/lang=b').to_pandas()
     assert sorted(one['id']) == [2, 3]
+
+
+def test_lazy_exports_resolve():
+    """Every lazily-exported name resolves to a real callable."""
+    import python_fastjsonschema_ray as eng
+    for name in ('TableValidator', 'validate_dataset', 'grouped_agg',
+                 'grouped_topk', 'distinct_count', 'pivot_table',
+                 'broadcast_lookup_join', 'shuffle_join', 'asof_join',
+                 'deterministic_sample', 'mixture_sample_exact',
+                 'deterministic_split', 'token_budget_sample',
+                 'chunk_text', 'repetition_stats', 'grouped_scan',
+                 'global_rank', 'exact_quantiles', 'winsorize_columns',
+                 'dedup_minhash', 'read_table', 'write_table',
+                 'curate_corpus', 'connected_components'):
+        assert callable(getattr(eng, name)), name
+    import pytest
+    with pytest.raises(AttributeError):
+        eng.no_such_operator
