@@ -228,6 +228,29 @@ def q_ann_topk(sf_dir: str):
     })
 
 
+def q_ann_multi_topk(sf_dir: str):
+    """Batch-probe ANN: exact cosine top-5 for THREE probe vectors at
+    once (the mining shape — one BLAS matmul per batch scores every
+    probe; per-probe k-row partials fold on the driver).  Probes are
+    the vec_id<3 embeddings."""
+    from python_fastjsonschema_ray.stages.ann import topk_cosine
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+
+    def probes_only(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return b.filter(pc.less(b.column('vec_id'), 3))
+
+    pdf = ds.map_batches(probes_only, batch_format='pyarrow')         .to_pandas().sort_values('vec_id')
+    Q = np.stack(pdf['embedding'].to_numpy())
+    df = topk_cosine(ds, 'vec_id', 'embedding', Q, k=5)
+    probe_ids = pdf['vec_id'].to_numpy()
+    return pd.DataFrame({
+        'probe_id': probe_ids[df['query'].to_numpy()].astype('int64'),
+        'vec_id': df['vec_id'].astype('int64'),
+        'sim': df['sim'].round(4),
+    })
+
+
 def q_windowed_events(sf_dir: str):
     """Tumbling-window aggregate (per-batch partial agg → small groupby)."""
     from python_fastjsonschema_ray.stages.windows import tumbling_window_agg
@@ -1637,6 +1660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'cumsum_lineitem': q_cumsum_lineitem,
         'left_join_orders_customer': q_left_join_orders_customer,
         'token_budget_documents': q_token_budget_documents,
+        'ann_multi_topk': q_ann_multi_topk,
         'pivot_orders': q_pivot_orders,
         'split_documents': q_split_documents,
         'vocabulary_documents': q_vocabulary_documents,
@@ -2253,6 +2277,22 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents WHERE lang IN ('en', 'zh'))
             WHERE (lang = 'en' AND run <= 20000)
                OR (lang = 'zh' AND run <= 8000)
+        """,
+        'ann_multi_topk': """
+            WITH probes AS (
+                SELECT vec_id AS probe_id, embedding AS pe
+                FROM embeddings WHERE vec_id < 3)
+            SELECT probe_id, vec_id, sim FROM (
+                SELECT p.probe_id, e.vec_id,
+                       ROUND(list_cosine_similarity(e.embedding, p.pe), 4)
+                           AS sim,
+                       row_number() OVER (
+                           PARTITION BY p.probe_id
+                           ORDER BY list_cosine_similarity(e.embedding,
+                                                           p.pe) DESC,
+                                    e.vec_id ASC) AS rn
+                FROM embeddings e, probes p)
+            WHERE rn <= 5
         """,
         'pivot_orders': """
             SELECT o_orderpriority,
