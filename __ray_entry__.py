@@ -1429,6 +1429,16 @@ def q_standardize_lineitem(sf_dir: str):
                ['l_orderkey', 'l_linenumber', 'l_quantity',
                 'l_extendedprice'])
     out = standardize_columns(ds, ['l_quantity', 'l_extendedprice'])
+
+    def round_z(batch: pd.DataFrame) -> pd.DataFrame:
+        # 4dp on both sides: the mean/std fold sums block partials, so
+        # its last-ulp drift depends on block boundaries (which shift
+        # under memory pressure) — raw 6dp compare flaked ~1/10 runs.
+        for c in ('l_quantity_z', 'l_extendedprice_z'):
+            batch[c] = batch[c].round(4)
+        return batch
+
+    out = out.map_batches(round_z, batch_format='pandas')
     return _df_with_columns(
         out, ['l_orderkey', 'l_linenumber', 'l_quantity',
               'l_extendedprice', 'l_quantity_z', 'l_extendedprice_z'])
@@ -2351,10 +2361,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         'standardize_lineitem': """
             SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-                   (l_quantity - AVG(l_quantity) OVER ())
-                       / STDDEV_SAMP(l_quantity) OVER () AS l_quantity_z,
-                   (l_extendedprice - AVG(l_extendedprice) OVER ())
-                       / STDDEV_SAMP(l_extendedprice) OVER ()
+                   ROUND((l_quantity - AVG(l_quantity) OVER ())
+                       / STDDEV_SAMP(l_quantity) OVER (), 4)
+                       AS l_quantity_z,
+                   ROUND((l_extendedprice - AVG(l_extendedprice) OVER ())
+                       / STDDEV_SAMP(l_extendedprice) OVER (), 4)
                        AS l_extendedprice_z
             FROM lineitem
         """,
