@@ -1444,6 +1444,20 @@ def q_standardize_lineitem(sf_dir: str):
               'l_extendedprice', 'l_quantity_z', 'l_extendedprice_z'])
 
 
+def q_diversity_sample_embeddings(sf_dir: str):
+    """Cluster-balanced diversity sampling (SemDeDup shape): k-means
+    the embeddings, keep exactly 4 docs per cluster by hash order —
+    coverage of every semantic region instead of density-weighted
+    sampling.  Iterative k-means, so rows-only
+    (stages/cluster.py:cluster_balanced_sample)."""
+    from python_fastjsonschema_ray.stages.cluster import (
+        cluster_balanced_sample)
+    ds = _read(sf_dir, 'embeddings', ['vec_id', 'embedding'])
+    out = cluster_balanced_sample(ds, 'vec_id', 'embedding', k=8,
+                                  n_per_cluster=4, iters=5, seed=11)
+    return _df_with_columns(out, ['cluster', 'vec_id'])
+
+
 def q_kmeans_embeddings(sf_dir: str):
     """Distributed Lloyd k-means over the embedding corpus (corpus
     bucketing / semantic sharding).  Each iteration is one streaming
@@ -1700,6 +1714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'plugin_even_lineitem': q_plugin_even_lineitem,
         # rows-only (no SQL equivalent):
         'curate_documents': q_curate_documents,
+        'diversity_sample_embeddings': q_diversity_sample_embeddings,
         'langid_documents': q_langid_documents,
         'fingerprint_documents': q_fingerprint_documents,
         'simhash_documents': q_simhash_documents,

@@ -198,3 +198,28 @@ def cluster_sizes(tagged_ds, k, *, cluster_column='cluster'):
             counts += np.asarray(t.column('count')[row].as_py(),
                                  dtype=np.int64)
     return counts
+
+
+def cluster_balanced_sample(ds, id_column, embedding_column, k, n_per_cluster,
+                            *, iters=10, seed=11, salt=0):
+    """Semantic diversity sampling (the SemDeDup/cluster-balanced
+    selection shape; Abbas et al., arXiv:2303.09540): k-means the
+    embedding corpus, then keep exactly ``n_per_cluster`` documents per
+    cluster chosen deterministically by hash order of the id — a
+    sample that covers every semantic region instead of oversampling
+    the dense ones.
+
+    Composition of existing operators, so the scale shape is
+    inherited: ``kmeans_fit`` is shuffle-free streaming passes with
+    broadcast centroids, ``kmeans_assign`` one more, and the per-cluster
+    cut is ``stratified_sample_exact`` (at most n rows per cluster per
+    block shuffle).  Returns ``(id, cluster)`` rows."""
+    from .sample import stratified_sample_exact
+
+    cents, _ = kmeans_fit(ds, embedding_column, k, iters=iters, seed=seed)
+    tagged = kmeans_assign(ds.select_columns([id_column, embedding_column]),
+                           embedding_column, cents)
+    picked = stratified_sample_exact(
+        tagged.select_columns([id_column, 'cluster']),
+        ['cluster'], id_column, n_per_cluster, salt=salt)
+    return picked

@@ -122,3 +122,39 @@ def test_kmeans_early_stop(ray_session):
     _, info = kmeans_fit(_embed_ds(mat, blocks=2), 'embedding', 2,
                          iters=50, tol=1e-9, init_centroids=init)
     assert info['iterations'] <= 3
+
+
+def test_cluster_balanced_sample(ray_session):
+    """Every planted blob contributes exactly n docs, chosen by the
+    deterministic hash order (reproducible across runs)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from python_fastjsonschema_ray.stages.cluster import (
+        cluster_balanced_sample)
+
+    rng = np.random.default_rng(2)
+    blobs = []
+    for c, centre in enumerate([(10, 0), (-10, 0), (0, 12)]):
+        pts = rng.normal(0, 0.3, (40, 2)) + np.asarray(centre)
+        blobs.append(pd.DataFrame({
+            'id': np.arange(c * 40, c * 40 + 40, dtype='int64'),
+            # plain lists -> Arrow list<double>, the embeddings schema
+            # (numpy arrays would become the tensor extension type)
+            'embedding': [list(map(float, p)) for p in pts],
+        }))
+    df = pd.concat(blobs, ignore_index=True)
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    out = cluster_balanced_sample(ds, 'id', 'embedding', k=3,
+                                  n_per_cluster=5).to_pandas()
+    assert len(out) == 15
+    sizes = out.groupby('cluster').size()
+    assert sorted(sizes) == [5, 5, 5]
+    # each true blob is represented (clusters align with blobs)
+    blob_of = out['id'] // 40
+    assert blob_of.nunique() == 3
+
+    again = cluster_balanced_sample(ds, 'id', 'embedding', k=3,
+                                    n_per_cluster=5).to_pandas()
+    assert sorted(again['id']) == sorted(out['id'])
