@@ -118,18 +118,34 @@ def _violation_file_name() -> str:
     happen)."""
     import uuid
     task_id = None
+    attempt = 0
     try:
         import ray
         task_id = ray.get_runtime_context().get_task_id()
+        try:
+            # A retried attempt may land on a worker process that
+            # already ran an earlier attempt of the SAME task id; the
+            # ordinal must restart at 0 then, or the retry writes fresh
+            # filenames alongside attempt 1's and double-counts.
+            attempt = int(ray._private.worker.global_worker.core_worker
+                          .get_current_task_attempt_number())
+        except Exception:
+            attempt = 0
     except Exception:
         pass
     if not task_id:
         return uuid.uuid4().hex + '.parquet'
-    if task_id not in _TASK_BATCH_ORDINALS and \
-            len(_TASK_BATCH_ORDINALS) > 256:
-        _TASK_BATCH_ORDINALS.clear()
-    ordinal = _TASK_BATCH_ORDINALS.get(task_id, 0)
-    _TASK_BATCH_ORDINALS[task_id] = ordinal + 1
+    cache_key = (task_id, attempt)
+    if cache_key not in _TASK_BATCH_ORDINALS:
+        # New attempt of a known task: drop the stale attempt's counter
+        # so numbering restarts at 0 (filenames stay attempt-free, so
+        # the retry OVERWRITES attempt 1's files — the whole point).
+        for stale in [k for k in _TASK_BATCH_ORDINALS if k[0] == task_id]:
+            del _TASK_BATCH_ORDINALS[stale]
+        if len(_TASK_BATCH_ORDINALS) > 256:
+            _TASK_BATCH_ORDINALS.clear()
+    ordinal = _TASK_BATCH_ORDINALS.get(cache_key, 0)
+    _TASK_BATCH_ORDINALS[cache_key] = ordinal + 1
     return 'task-{}-{:05d}.parquet'.format(task_id, ordinal)
 
 

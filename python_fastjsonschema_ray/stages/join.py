@@ -92,6 +92,12 @@ def broadcast_lookup_join(ds, key, ref_ds, ref_key, ref_columns=None,
             idx = pc.index_in(
                 k.cast(ref.column(ref_key).type),
                 value_set=ref.column(ref_key).combine_chunks())
+            # index_in matches null->null when the ref side holds a
+            # null key; SQL equi-join semantics never match null keys,
+            # so null them out for EVERY mode (inner must drop them,
+            # left must keep them unenriched).
+            idx = pc.if_else(pc.is_valid(k), idx,
+                             pa.scalar(None, type=idx.type))
         if how in ('semi', 'anti'):
             # index_in matches null->null when the ref side holds a null
             # key; SQL EXISTS never matches nulls, so guard on key
@@ -198,17 +204,29 @@ def shuffle_join(left, right, left_key, right_key, right_columns,
                   if how == 'left' else None)
         l = l.filter(pc.is_valid(l.column(left_key)))
         r = r.filter(pc.is_valid(r.column(right_key)))
-        lhs = l.to_pandas()
-        rhs = r.to_pandas()
-        out = lhs.merge(rhs, left_on=left_key, right_on=right_key,
-                        how=how)
-        if right_key not in left_names and right_key != left_key:
-            out = out.drop(columns=[right_key])
-        # Rebuild every column with its declared type: a left merge
-        # null-pads right columns and pandas silently floats int64.
-        arrays = {c: pa.array(out[c], type=pad_types[c], from_pandas=True)
-                  for c in out.columns}
-        result = pa.table(arrays)
+        # Merge POSITIONS, not payloads: only (key, row position) pass
+        # through pandas, and every output column is gathered from the
+        # Arrow sides by position — a pandas left merge would null-pad
+        # right int64 columns into float64, silently corrupting values
+        # above 2^53 (snowflake-style ids) on the round-trip back.
+        lhs = pd.DataFrame({
+            '__k': l.column(left_key).to_pandas(),
+            '__lpos': np.arange(l.num_rows, dtype=np.int64)})
+        rhs = pd.DataFrame({
+            '__k': r.column(right_key).to_pandas(),
+            '__rpos': np.arange(r.num_rows, dtype=np.int64)})
+        if lhs['__k'].dtype != rhs['__k'].dtype:
+            try:
+                rhs['__k'] = rhs['__k'].astype(lhs['__k'].dtype)
+            except (TypeError, ValueError):
+                lhs['__k'] = lhs['__k'].astype(rhs['__k'].dtype)
+        out = lhs.merge(rhs, on='__k', how=how)
+        lpos = pa.array(out['__lpos'].to_numpy(dtype=np.int64))
+        rpos = pa.array(out['__rpos'], type=pa.int64(), from_pandas=True)
+        result = l.combine_chunks().take(lpos)
+        r = r.combine_chunks()
+        for c in right_columns:
+            result = result.append_column(c, r.column(c).take(rpos))
         if l_null is not None and l_null.num_rows:
             pad = l_null
             for c in result.column_names:
@@ -498,46 +516,61 @@ def asof_join(left, right, left_on, right_on, left_by, right_by,
         # selected away per side, so int64 keys never see the other
         # side's nulls and degrade to float64.
         is_l = pc.equal(group.column('_side'), 'L')
-        l = group.filter(is_l).select(left_names)
+        l = group.filter(is_l).select(left_names).combine_chunks()
         r = group.filter(pc.invert(is_l)).select(
             [R_ON, R_BY] + right_columns)
         r = r.filter(pc.and_kleene(pc.is_valid(r.column(R_ON)),
                                    pc.is_valid(r.column(R_BY))))
-        lhs = l.to_pandas()
-        rhs = r.to_pandas()
-        # Rows whose on/by is null can never match; route them per `how`.
-        match_ok = lhs[left_on].notna() & lhs[left_by].notna()
+        # Ties on R_ON break on the GREATEST tiebreak for 'backward'
+        # (merge_asof picks the last of equal on-keys); sorting in
+        # Arrow keeps int64 tiebreak values exact.
+        r = r.sort_by([(c, 'ascending') for c in [R_ON] + tiebreak]) \
+             .combine_chunks()
+        # Only (on, by, position) pass through pandas; every output
+        # column is gathered from the Arrow sides by position, so
+        # null-padding never float-coerces int64 values above 2^53.
+        lhs = pd.DataFrame({
+            '__on': l.column(left_on).to_pandas(),
+            '__by': l.column(left_by).to_pandas(),
+            '__lpos': np.arange(l.num_rows, dtype=np.int64)})
+        match_ok = lhs['__on'].notna() & lhs['__by'].notna()
         lhs_null = lhs[~match_ok]
-        lhs_v = lhs[match_ok].sort_values(left_on, kind='mergesort')
-        if len(rhs):
+        lhs_v = lhs[match_ok].sort_values('__on', kind='mergesort')
+        if r.num_rows:
+            rhs = pd.DataFrame({
+                R_ON: r.column(R_ON).to_pandas(),
+                R_BY: r.column(R_BY).to_pandas(),
+                '__rpos': np.arange(r.num_rows, dtype=np.int64)})
             # A left block that carried null keys converts to float64 in
             # pandas even after the nulls are filtered; re-align key
             # dtypes (merge_asof requires exact matches).
-            for lc, rc in ((left_on, R_ON), (left_by, R_BY)):
+            for lc, rc in (('__on', R_ON), ('__by', R_BY)):
                 if lhs_v[lc].dtype != rhs[rc].dtype:
                     try:
                         lhs_v[lc] = lhs_v[lc].astype(rhs[rc].dtype)
                     except (TypeError, ValueError):
                         rhs[rc] = rhs[rc].astype(lhs_v[lc].dtype)
-            # Stable-sorted so that within equal R_ON the LAST row (the
-            # one merge_asof's backward search picks) carries the
-            # greatest tiebreak.
-            rhs = rhs.sort_values([R_ON] + tiebreak, kind='mergesort')
             out = pd.merge_asof(
-                lhs_v, rhs, left_on=left_on, right_on=R_ON,
-                left_by=left_by, right_by=R_BY,
+                lhs_v, rhs, left_on='__on', right_on=R_ON,
+                left_by='__by', right_by=R_BY,
                 direction=direction, tolerance=tol)
         else:
             out = lhs_v.copy()
-            for c in [R_ON, R_BY] + right_columns:
-                out[c] = None
+            out['__rpos'] = np.nan
         if how == 'inner':
-            out = out[out[R_ON].notna()]
+            out = out[out['__rpos'].notna()]
         else:
-            out = pd.concat([out, lhs_null], ignore_index=True, sort=False)
-        out = out[left_names + right_columns]
-        return pa.Table.from_pandas(out, schema=out_schema,
-                                    preserve_index=False)
+            out = pd.concat([out, lhs_null], ignore_index=True,
+                            sort=False)
+        lpos = pa.array(out['__lpos'].to_numpy(dtype=np.int64))
+        rpos = pa.array(out['__rpos'], type=pa.int64(),
+                        from_pandas=True)
+        result = l.take(lpos)
+        for c in right_columns:
+            result = result.append_column(
+                pa.field(c, right_types[c]),
+                r.column(c).take(rpos).cast(right_types[c]))
+        return result.cast(out_schema)
 
     return lt.union(rt).groupby('_bucket').map_groups(
         merge, batch_format='pyarrow')

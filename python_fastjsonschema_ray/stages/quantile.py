@@ -8,15 +8,18 @@ pass; this operator answers EXACT order statistics without any shuffle:
    buckets, np.searchsorted; each block emits one small count vector,
    the driver folds them) → descend into the bucket containing the
    target rank;
-3. when ≤ ``collect_limit`` candidates remain in [lo, hi], collect just
-   those VALUES and select the rank with one ``np.partition``.
+3. when ≤ ``collect_limit`` candidates remain in [lo, hi] — or the
+   range has stalled at ULP scale under duplicate mass — collect the
+   per-block (unique value, count) pairs in that range and resolve the
+   rank arithmetically on the driver.
 
 Passes are full column re-scans (the dataset is never materialized), so
 cost is O(log_bins(n / collect_limit) + 2) streaming scans — 3-4 scans
 even at 10^12 rows with the defaults — each scan column-pruned and
-embarrassingly parallel.  Heavy duplicate mass cannot stall the
-narrowing: when the range collapses to a single float the answer is
-that value.
+embarrassingly parallel.  Heavy duplicate mass can stop the range
+SHRINKING (adjacent floats both carrying billions of rows), but the
+final pass folds (unique, count) pairs — O(distinct floats in range),
+never O(rows) — so a stalled state cannot blow up driver memory.
 """
 
 from __future__ import annotations
@@ -145,26 +148,45 @@ def select_ranks(ds, column, ranks, *, bins=4096, collect_limit=500_000,
         bounds = [(s['lo'], s['hi']) for s in pending]
 
         def collect(batch: pa.Table, bounds=bounds) -> pa.Table:
+            # Emit per-block (unique value, count) pairs, NOT raw
+            # values: a 'stalled' state (range narrowed to adjacent
+            # floats with heavy duplicate mass) can hold billions of
+            # remaining ROWS but only a handful of distinct FLOATS, so
+            # the driver-side fold stays O(distinct), never O(rows).
             vals_all = np.asarray(batch.column(column).drop_null(),
                                   dtype=np.float64)
             cols = {}
             for i, (lo, hi) in enumerate(bounds):
                 sel = vals_all[(vals_all >= lo) & (vals_all <= hi)]
-                cols['v{}'.format(i)] = pa.array(sel, type=pa.float64())
+                u, c = np.unique(sel, return_counts=True)
+                cols['v{}'.format(i)] = pa.array(u, type=pa.float64())
+                cols['c{}'.format(i)] = pa.array(c, type=pa.int64())
             m = max((len(c) for c in cols.values()), default=0)
             cols = {k: pa.concat_arrays(
-                        [v, pa.nulls(m - len(v), pa.float64())])
+                        [v, pa.nulls(m - len(v), v.type)])
                     for k, v in cols.items()}
             return pa.table(cols)
 
         parts = _fold_refs(ds.map_batches(collect, batch_format='pyarrow'))
         for i, s in enumerate(pending):
-            name = 'v{}'.format(i)
-            arrs = [np.asarray(t.column(name).drop_null(),
-                               dtype=np.float64) for t in parts]
-            vals = np.concatenate(arrs) if arrs else np.empty(0)
-            vals.partition(s['r'])
-            s['val'] = float(vals[s['r']])
+            us, cs = [], []
+            for t in parts:
+                # v/c columns share one validity layout (padded from
+                # equal unpadded lengths), so independent drop_null
+                # stays aligned.
+                us.append(np.asarray(
+                    t.column('v{}'.format(i)).drop_null(),
+                    dtype=np.float64))
+                cs.append(np.asarray(
+                    t.column('c{}'.format(i)).drop_null(),
+                    dtype=np.int64))
+            u_all = np.concatenate(us) if us else np.empty(0)
+            c_all = np.concatenate(cs) if cs else np.empty(0, np.int64)
+            u, inv = np.unique(u_all, return_inverse=True)
+            cnt = np.bincount(inv, weights=c_all.astype(np.float64),
+                              minlength=len(u)).astype(np.int64)
+            cum = np.cumsum(cnt)
+            s['val'] = float(u[int(np.searchsorted(cum, s['r'] + 1))])
     return [s['val'] for s in states]
 
 

@@ -75,7 +75,11 @@ def standardize_columns(ds, columns, *, suffix='_z', stats=None):
             _, mean, std = st[c]
             v = np.asarray(batch.column(c).cast(pa.float64())
                            .fill_null(np.nan), dtype=np.float64)
-            z = (v - mean) / std if std > 0 else np.zeros_like(v)
+            # Zero-variance convention: 0.0 for present values — but
+            # nulls must STAY null (the module contract), so the
+            # constant branch cannot blanket-zero the NaN slots.
+            z = ((v - mean) / std if std > 0
+                 else np.where(np.isnan(v), np.nan, 0.0))
             batch = batch.append_column(
                 c + suffix, pa.array(z, type=pa.float64(),
                                      from_pandas=True))

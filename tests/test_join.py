@@ -387,3 +387,93 @@ def test_shuffle_join_collision_guard(ray_session):
                                       'v': pa.array(['y'])}))
     with pytest.raises(ValueError, match='collide'):
         shuffle_join(a, b, 'k', 'k', ['v'])
+
+
+def test_broadcast_lookup_join_null_ref_key(ray_session):
+    """A null key on the DIMENSION side must never match a null left
+    key (SQL equi-join semantics): inner drops null-key left rows,
+    left keeps them unenriched — even though pc.index_in would match
+    null->null."""
+    import ray.data
+    from python_fastjsonschema_ray.stages.join import broadcast_lookup_join
+    left = ray.data.from_arrow(pa.table({
+        'id': pa.array([1, 2, 3], type=pa.int64()),
+        'fk': pa.array([10, None, 20], type=pa.int64())}))
+    ref = ray.data.from_arrow(pa.table({
+        'k': pa.array([10, None], type=pa.int64()),
+        'v': pa.array(['a', 'poison'])}))
+    inner = broadcast_lookup_join(left, 'fk', ref, 'k', ['v']).to_pandas()
+    assert _norm(inner, ['id', 'v']) == [(1, 'a')]
+    lj = broadcast_lookup_join(left, 'fk', ref, 'k', ['v'],
+                               how='left').to_pandas()
+    by_id = dict(zip(lj['id'], lj['v']))
+    assert by_id[1] == 'a'
+    assert by_id[2] is None and by_id[3] is None
+    semi = broadcast_lookup_join(left, 'fk', ref, 'k',
+                                 how='semi').to_pandas()
+    assert sorted(semi['id']) == [1]
+    anti = broadcast_lookup_join(left, 'fk', ref, 'k',
+                                 how='anti').to_pandas()
+    assert sorted(anti['id']) == [2, 3]
+
+
+def test_shuffle_join_left_preserves_big_int64(ray_session):
+    """Unmatched left rows null-pad the right columns; int64 values
+    above 2^53 on MATCHED rows must survive exactly (a pandas
+    float64 round-trip would corrupt them)."""
+    import ray.data
+    from python_fastjsonschema_ray.stages.join import shuffle_join
+    big = (1 << 62) + 12345  # not representable in float64
+    left = ray.data.from_arrow(pa.table({
+        'k': pa.array([1, 2, 3], type=pa.int64()),
+        'lv': pa.array([big + 1, 0, 7], type=pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        'rk': pa.array([1, 3], type=pa.int64()),
+        'rv': pa.array([big, big + 2], type=pa.int64())}))
+    import ray
+    out_ds = shuffle_join(left, right, 'k', 'rk', ['rv'], how='left')
+    # Assert on the ARROW blocks (a pandas conversion of the nullable
+    # int64 result would itself float-coerce and mask the bug).
+    tbl = pa.concat_tables(
+        [t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+         for t in ray.get(out_ds.to_arrow_refs()) if t.num_rows])
+    assert tbl.schema.field('rv').type == pa.int64()
+    rows = {k.as_py(): (lv.as_py(), rv.as_py()) for k, lv, rv in
+            zip(tbl.column('k'), tbl.column('lv'), tbl.column('rv'))}
+    assert rows == {1: (big + 1, big), 2: (0, None), 3: (7, big + 2)}
+    inner_ds = shuffle_join(left, right, 'k', 'rk', ['rv'], how='inner')
+    itbl = pa.concat_tables(
+        [t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+         for t in ray.get(inner_ds.to_arrow_refs()) if t.num_rows])
+    irows = {k.as_py(): rv.as_py() for k, rv in
+             zip(itbl.column('k'), itbl.column('rv'))}
+    assert irows == {1: big, 3: big + 2}
+
+
+def test_asof_join_preserves_big_int64(ray_session):
+    """asof enrichment columns gather from the Arrow side by position:
+    int64 values above 2^53 survive a left asof join with unmatched
+    rows exactly."""
+    import ray.data
+    from python_fastjsonschema_ray.stages.join import asof_join
+    big = (1 << 61) + 999
+    left = ray.data.from_arrow(pa.table({
+        'g': pa.array(['a', 'a', 'b'], type=pa.string()),
+        't': pa.array([5, 1, 5], type=pa.int64())}))
+    right = ray.data.from_arrow(pa.table({
+        'g2': pa.array(['a', 'b'], type=pa.string()),
+        't2': pa.array([3, 10], type=pa.int64()),
+        'val': pa.array([big, big + 1], type=pa.int64())}))
+    import ray
+    out_ds = asof_join(left, right, 't', 't2', 'g', 'g2', ['val'],
+                       direction='backward', how='left')
+    tbl = pa.concat_tables(
+        [t if isinstance(t, pa.Table) else pa.Table.from_pandas(t)
+         for t in ray.get(out_ds.to_arrow_refs()) if t.num_rows])
+    assert tbl.schema.field('val').type == pa.int64()
+    rows = sorted((g.as_py(), t.as_py(), v.as_py()) for g, t, v in
+                  zip(tbl.column('g'), tbl.column('t'),
+                      tbl.column('val')))
+    # 'a'@1 precedes the right row at t=3 -> unmatched; 'b'@5 has no
+    # right row <= 5 -> unmatched; 'a'@5 matches t=3 with the big value.
+    assert rows == [('a', 1, None), ('a', 5, big), ('b', 5, None)]

@@ -149,3 +149,50 @@ def test_select_ranks_shared_passes_match_singletons(ray_session):
     want = [float(srt[max(int(np.ceil(len(vals) * q)) - 1, 0)])
             for q in qs]
     assert got == want
+
+
+def test_select_ranks_duplicate_mass_stall_bounded(ray_session):
+    """A range stalled at ULP scale with heavy duplicate mass on BOTH
+    boundary floats resolves arithmetically from (unique, count)
+    pairs — the driver never collects O(rows) values (collect_limit
+    far below `remaining` here)."""
+    import ray.data
+    from python_fastjsonschema_ray.stages.quantile import select_ranks
+    lo = 1.0
+    hi = np.nextafter(np.nextafter(1.0, 2.0), 2.0)  # lo + 2 ulp
+    mid = np.nextafter(1.0, 2.0)
+    vals = np.concatenate([
+        np.full(40_000, lo), np.full(30_000, mid), np.full(30_000, hi)])
+    rng = np.random.default_rng(7)
+    rng.shuffle(vals)
+    ds = ray.data.from_arrow(pa.table({'v': pa.array(vals)})) \
+        .repartition(8)
+    got = select_ranks(ds, 'v', [0, 39_999, 40_000, 69_999, 70_000,
+                                 99_999], collect_limit=100, bins=16)
+    assert got == [lo, lo, mid, mid, hi, hi]
+
+
+def test_manifest_violation_name_resets_per_attempt():
+    """A retried task attempt on a worker that already ran an earlier
+    attempt must restart batch ordinals at 0 so the retry OVERWRITES
+    attempt 1's files instead of double-counting."""
+    from unittest import mock
+
+    from python_fastjsonschema_ray.pipelines import manifest as m
+
+    class Ctx:
+        def get_task_id(self):
+            return 'deadbeef'
+
+    with mock.patch('ray.get_runtime_context', return_value=Ctx()):
+        core = mock.Mock()
+        with mock.patch('ray._private.worker.global_worker') as gw:
+            gw.core_worker = core
+            m._TASK_BATCH_ORDINALS.clear()
+            core.get_current_task_attempt_number.return_value = 0
+            first = [m._violation_file_name() for _ in range(3)]
+            core.get_current_task_attempt_number.return_value = 1
+            retry = [m._violation_file_name() for _ in range(3)]
+    assert first == retry == ['task-deadbeef-{:05d}.parquet'.format(i)
+                              for i in range(3)]
+    m._TASK_BATCH_ORDINALS.clear()

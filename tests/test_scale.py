@@ -98,3 +98,15 @@ def test_winsorize_matches_numpy(ray_session):
     other = ray.data.from_pandas(pd.DataFrame({'v': [0.0, 1000.0]}))
     reused = winsorize_columns(other, ['v'], bounds=bounds).to_pandas()
     assert reused['v_w'].tolist() == [lo, hi]
+
+
+def test_standardize_constant_column_keeps_nulls(ray_session):
+    """Zero-variance branch: present values -> 0.0 but nulls STAY null
+    (module contract; a blanket zeros_like would zero the nulls)."""
+    from python_fastjsonschema_ray.stages.scale import standardize_columns
+    df = pd.DataFrame({'id': [0, 1, 2], 'c': [5.0, 5.0, None]})
+    out = standardize_columns(_ds(df, blocks=2), ['c']).to_pandas() \
+        .sort_values('id')
+    got = out['c_z'].to_numpy()
+    assert got[0] == 0.0 and got[1] == 0.0
+    assert np.isnan(got[2])
