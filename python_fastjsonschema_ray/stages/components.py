@@ -122,6 +122,12 @@ def connected_components_distributed(pairs, id_a='id_a', id_b='id_b', *,
     from ..pipelines.constraints import _AddKeyBucket, _default_buckets
 
     num_buckets = num_buckets or _default_buckets()
+    # Each bucketed co-group emits ~num_buckets blocks; feeding those
+    # straight into the NEXT round's sort-groupby compounds (sort fixed
+    # cost is task-count-driven), making round cost grow round over
+    # round.  Coalesce the (tiny, pair-list-bounded) label state to
+    # ~cpus/2 blocks between rounds so every round pays the same cost.
+    state_blocks = max(4, int(ray.cluster_resources().get('CPU', 8)) // 2)
 
     def symmetrize(batch: pa.Table) -> pa.Table:
         a = batch.column(id_a).combine_chunks()
@@ -141,7 +147,8 @@ def connected_components_distributed(pairs, id_a='id_a', id_b='id_b', *,
 
     # Local min per block, then bucketed min fold — partials only.
     labels = edges.map_batches(init_labels, batch_format='pyarrow')
-    labels = _min_fold(labels, 'node', 'label', num_buckets).materialize()
+    labels = _min_fold(labels, 'node', 'label', num_buckets) \
+        .repartition(state_blocks).materialize()
     id_type = edges.schema().types[0]
 
     def tag_edges(b: pa.Table) -> pa.Table:
@@ -167,11 +174,12 @@ def connected_components_distributed(pairs, id_a='id_a', id_b='id_b', *,
             is_lab = pc.is_valid(group.column('label'))
             lab = group.filter(is_lab)
             edge = group.filter(pc.invert(is_lab))
-            lab_of = dict(zip(lab.column('node').to_pylist(),
-                              lab.column('label').to_pylist()))
-            src = edge.column('node').to_pylist()
-            out_lab = pa.array([lab_of[s] for s in src],
-                               type=lab.column('label').type)
+            # Vectorized lookup (total: every edge source holds a label
+            # row in its bucket) — no per-row dict probes.
+            idx = pc.index_in(edge.column('node').combine_chunks(),
+                              value_set=lab.column('node')
+                              .combine_chunks())
+            out_lab = lab.column('label').combine_chunks().take(idx)
             # (target node, forwarded label) ++ the label rows themselves
             # (tagged old=True) so the fold can detect change.
             fwd = pa.table({
@@ -210,13 +218,15 @@ def connected_components_distributed(pairs, id_a='id_a', id_b='id_b', *,
             return merged[['node', 'label', 'changed']]
 
         new_state = bucketed.groupby('_bucket').map_groups(
-            final_fold, batch_format='pandas').materialize()
+            final_fold, batch_format='pandas') \
+            .repartition(state_blocks).materialize()
         n_changed = new_state.sum('changed') or 0
         labels = new_state.drop_columns(['changed'])
         if not n_changed:
             labels = labels.materialize()
             break
-        labels = _pointer_jump(labels, num_buckets).materialize()
+        labels = _pointer_jump(labels, num_buckets) \
+            .repartition(state_blocks).materialize()
     return labels.map_batches(
         lambda b: b.rename_columns(['id', 'component_id']),
         batch_format='pyarrow')
@@ -252,12 +262,12 @@ def _pointer_jump(labels, num_buckets):
         is_src = pc.is_valid(group.column('lab'))
         src = group.filter(is_src)
         ref = group.filter(pc.invert(is_src))
-        lab_of = dict(zip(src.column('jkey').to_pylist(),
-                          src.column('lab').to_pylist()))
-        jumped = [lab_of[k] for k in ref.column('jkey').to_pylist()]
+        idx = pc.index_in(ref.column('jkey').combine_chunks(),
+                          value_set=src.column('jkey').combine_chunks())
+        jumped = src.column('lab').combine_chunks().take(idx)
         return pa.table({
             'node': ref.column('node'),
-            'label': pa.array(jumped, type=src.column('lab').type)})
+            'label': jumped})
 
     return both.groupby('_bucket').map_groups(rewrite,
                                               batch_format='pyarrow')
@@ -283,11 +293,12 @@ def _min_fold(partials, key, value, num_buckets):
 def _join_old(g: pa.Table, og: pa.Table) -> pa.Table:
     """Left-join the per-node old label onto the folded mins (small,
     in-block tables)."""
-    old_of = dict(zip(og.column('node').to_pylist(),
-                      og.column('label_min').to_pylist()))
-    nodes = g.column('node').to_pylist()
-    old_vals = [old_of.get(n) for n in nodes]
+    import pyarrow.compute as pc
+
+    idx = pc.index_in(g.column('node').combine_chunks(),
+                      value_set=og.column('node').combine_chunks())
+    old_vals = og.column('label_min').combine_chunks().take(idx)
     return pa.table({
         'node': g.column('node'),
         'label_min': g.column('label_min'),
-        'old_label': pa.array(old_vals, type=g.column('label_min').type)})
+        'old_label': old_vals})

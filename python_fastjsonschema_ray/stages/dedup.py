@@ -964,40 +964,76 @@ class HyperplaneLSHStage:
         return batch.append_column('bucket', pa.array(bucket, type=pa.int64()))
 
 
+def _cosine_pairs_tiled(unit, threshold, tile=2048):
+    """All (i, j, cos) with j > i and cos >= threshold over a unit-row
+    matrix, in ``tile``x``tile`` BLAS blocks: a hot bucket of n vectors
+    costs O(n^2 d) matmul FLOPs but never materializes the full n x n
+    similarity matrix (peak extra memory = one tile^2 float64 block,
+    ~32 MB at the default) and emits pairs via np.nonzero — zero
+    per-pair Python."""
+    n = len(unit)
+    out_i, out_j, out_c = [], [], []
+    for s in range(0, n, tile):
+        a = unit[s:s + tile]
+        for t in range(s, n, tile):
+            blk = a @ unit[t:t + tile].T
+            ii, jj = np.nonzero(blk >= threshold)
+            gi = ii + s
+            gj = jj + t
+            keep = gj > gi
+            if keep.any():
+                out_i.append(gi[keep])
+                out_j.append(gj[keep])
+                out_c.append(blk[ii[keep], jj[keep]])
+    if not out_i:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, np.empty(0, dtype=np.float64)
+    return (np.concatenate(out_i), np.concatenate(out_j),
+            np.concatenate(out_c))
+
+
 def embedding_duplicate_pairs(ds, id_column, embedding_column, dim, *,
                               threshold=0.95, n_planes=12, concurrency=None):
     """Near-identical embeddings: hyperplane-LSH bucket → exact cosine
     verification within buckets.  (High thresholds ⇒ near-identical vectors
     ⇒ same bucket with high probability; raise recall by lowering
-    n_planes.)"""
-    import pandas as pd
+    n_planes.)
 
+    Hot buckets (e.g. many near-zero vectors landing in one hyperplane
+    cell) verify in tiled BLAS blocks (:func:`_cosine_pairs_tiled`):
+    O(n^2 d) FLOPs but bounded memory and no per-pair Python — 10k
+    identical-bucket vectors verify in well under a second."""
     kwargs = {'batch_format': 'pyarrow'}
     if concurrency:
         kwargs['concurrency'] = concurrency
     bucketed = ds.select_columns([id_column, embedding_column]).map_batches(
         HyperplaneLSHStage(embedding_column, dim, n_planes), **kwargs)
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({'id_a': [], 'id_b': [], 'cosine': []})
-        group = group.sort_values(id_column)
-        ids = group[id_column].tolist()
-        emb = np.stack(group[embedding_column].to_numpy()).astype(np.float64)
+    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_column]
+    empty = pa.table({'id_a': pa.nulls(0, id_type),
+                      'id_b': pa.nulls(0, id_type),
+                      'cosine': pa.nulls(0, pa.float64())})
+
+    def verify(group: pa.Table) -> pa.Table:
+        from ..functions.arrowutil import embedding_matrix
+        if group.num_rows < 2:
+            return empty
+        group = group.sort_by([(id_column, 'ascending')])
+        ids = group.column(id_column).combine_chunks()
+        emb = embedding_matrix(group.column(embedding_column)) \
+            .astype(np.float64, copy=False)
         norms = np.linalg.norm(emb, axis=1)
         norms[norms == 0] = 1.0
         unit = emb / norms[:, None]
-        sims = unit @ unit.T
-        out_a, out_b, out_c = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_c.append(round(float(sims[i, j]), 6))
-        return pd.DataFrame({'id_a': out_a, 'id_b': out_b, 'cosine': out_c})
+        gi, gj, cos = _cosine_pairs_tiled(unit, threshold)
+        if not len(gi):
+            return empty
+        return pa.table({'id_a': ids.take(pa.array(gi)),
+                         'id_b': ids.take(pa.array(gj)),
+                         'cosine': pa.array(np.round(cos, 6))})
 
-    return bucketed.groupby('bucket').map_groups(verify, batch_format='pandas')
+    return bucketed.groupby('bucket').map_groups(verify,
+                                                 batch_format='pyarrow')
 
 
 # ---------------------------------------------------------------------------
@@ -1024,6 +1060,35 @@ def _lshr_i64(v: np.ndarray, k: int) -> np.ndarray:
     return (v >> k) & np.int64((1 << (64 - k)) - 1)
 
 
+def _hamming_pairs_tiled(hh, max_dist, tile=4096):
+    """All (i, j, dist) with j > i and popcount(hh[i]^hh[j]) <= max_dist,
+    in ``tile``x``tile`` blocks: a hot bucket (e.g. the all-zero chunk of
+    near-blank images) never materializes the full n^2 index/XOR arrays
+    — peak extra memory is one tile^2 int64 block (~128 MB at the
+    default; pass a smaller tile for tighter workers)."""
+    n = len(hh)
+    out_i, out_j, out_d = [], [], []
+    for s in range(0, n, tile):
+        a = hh[s:s + tile]
+        for t in range(s, n, tile):
+            with np.errstate(over='ignore'):
+                d = _popcount64(
+                    (a[:, None] ^ hh[None, t:t + tile]).view(np.uint64))
+            ii, jj = np.nonzero(d <= max_dist)
+            gi = ii + s
+            gj = jj + t
+            keep = gj > gi
+            if keep.any():
+                out_i.append(gi[keep])
+                out_j.append(gj[keep])
+                out_d.append(d[ii[keep], jj[keep]])
+    if not out_i:
+        z = np.empty(0, dtype=np.int64)
+        return z, z, z.copy()
+    return (np.concatenate(out_i), np.concatenate(out_j),
+            np.concatenate(out_d))
+
+
 def hamming_near_dup(ds, id_column, hash_column, *, max_dist=3, bands=None):
     """Near-duplicate pairs among 64-bit signatures (image phash, document
     simhash): (id_a, id_b, dist) with id_a < id_b and popcount(a^b) <=
@@ -1036,8 +1101,11 @@ def hamming_near_dup(ds, id_column, hash_column, *, max_dist=3, bands=None):
     (band, chunk, id, hash) rows move — the 8-byte signature rides along,
     so verification happens inline in the bucket group (no second join,
     unlike text minhash).  At 10^12 rows the hot buckets are the all-zero
-    chunks of near-blank images; cap per-bucket fanout upstream by
-    pre-filtering degenerate signatures if the corpus has them."""
+    chunks of near-blank images; verification runs in tiled popcount
+    blocks (:func:`_hamming_pairs_tiled`) so a hot bucket costs O(n^2)
+    vectorized XOR-popcount but bounded memory — still pre-filter
+    degenerate signatures upstream when the corpus is dominated by
+    them (the FLOPs, not the memory, become the bill)."""
     if bands is None:
         # Smallest divisor of 64 exceeding max_dist (pigeonhole needs
         # bands > max_dist for guaranteed recall; chunks must tile 64 bits).
@@ -1089,13 +1157,11 @@ def hamming_near_dup(ds, id_column, hash_column, *, max_dist=3, bands=None):
             if len(uniq) < 2:
                 continue
             hh = bucket_h[first]
-            ii, jj = np.triu_indices(len(uniq), k=1)
-            with np.errstate(over='ignore'):
-                dist = _popcount64((hh[ii] ^ hh[jj]).view(np.uint64))
-            ok = dist <= max_dist
-            out_a.append(uniq[ii[ok]])
-            out_b.append(uniq[jj[ok]])
-            out_d.append(dist[ok])
+            gi, gj, dist = _hamming_pairs_tiled(hh, max_dist)
+            if len(gi):
+                out_a.append(uniq[gi])
+                out_b.append(uniq[gj])
+                out_d.append(dist)
         if not out_a:
             e1 = pd.Series([], dtype=ids.dtype)
             return pd.DataFrame({'id_a': e1, 'id_b': e1,

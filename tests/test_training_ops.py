@@ -396,3 +396,58 @@ def test_text_stage_batch_equals_scalar():
     assert 'n_subwords' in tc.columns
     tc2 = TokenCountStage('text', subwords=False)(df.copy())
     assert 'n_subwords' not in tc2.columns
+
+
+def test_embedding_near_dup_hot_bucket_bounded(ray_session):
+    """Adversarial hot bucket: 10k vectors that all land in ONE
+    hyperplane cell (identical direction + planted distinct clones).
+    Tiled BLAS verification must finish fast with exact results — the
+    old per-pair Python loop was O(n^2) interpreter time here."""
+    import time
+
+    import ray.data
+    from python_fastjsonschema_ray.stages.dedup import (
+        _cosine_pairs_tiled, embedding_duplicate_pairs)
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal(16)
+    n = 10_000
+    # All rows parallel to `base` with tiny independent jitter in an
+    # orthogonal direction: same LSH bucket, cosines ~1 for clone pairs
+    # and well below the 0.999999 threshold otherwise.
+    orth = rng.standard_normal(16)
+    orth -= orth @ base / (base @ base) * base
+    scales = rng.uniform(0.5, 2.0, n)[:, None]
+    jitter = rng.uniform(0.05, 0.08, n)[:, None]
+    emb = scales * base[None, :] + jitter * orth[None, :]
+    emb[5000] = emb[17] * 3.0        # exact-direction clone pair
+    df = pd.DataFrame({'vec_id': np.arange(n, dtype=np.int64),
+                       'embedding': list(emb.astype(np.float64))})
+    ds = ray.data.from_pandas(df).repartition(4)
+    t0 = time.monotonic()
+    pairs = embedding_duplicate_pairs(
+        ds, 'vec_id', 'embedding', dim=16, threshold=0.999999).take_all()
+    elapsed = time.monotonic() - t0
+    found = {(p['id_a'], p['id_b']) for p in pairs}
+    assert (17, 5000) in found
+    assert elapsed < 60  # old Python pair loop: ~50M iterations
+
+    # Tiling crosses boundaries correctly: small tile vs brute force.
+    unit = emb / np.linalg.norm(emb, axis=1)[:, None]
+    gi, gj, cos = _cosine_pairs_tiled(unit[:500], 0.99, tile=64)
+    sims = unit[:500] @ unit[:500].T
+    ii, jj = np.nonzero(np.triu(sims >= 0.99, k=1))
+    assert sorted(zip(gi, gj)) == sorted(zip(ii, jj))
+
+
+def test_hamming_pairs_tiled_matches_bruteforce():
+    from python_fastjsonschema_ray.stages.dedup import (
+        _hamming_pairs_tiled, _popcount64)
+    rng = np.random.default_rng(3)
+    hh = rng.integers(0, 1 << 16, 700, dtype=np.int64)  # dense collisions
+    gi, gj, dist = _hamming_pairs_tiled(hh, 4, tile=128)
+    ii, jj = np.triu_indices(len(hh), k=1)
+    with np.errstate(over='ignore'):
+        d = _popcount64((hh[ii] ^ hh[jj]).view(np.uint64))
+    ok = d <= 4
+    assert sorted(zip(gi, gj, dist)) == sorted(zip(ii[ok], jj[ok], d[ok]))
