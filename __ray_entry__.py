@@ -277,7 +277,7 @@ def q_events_value_high(sf_dir: str):
     ds = _read(sf_dir, 'events', ['event_id', 'value'])
     spec = {'properties': {'value': {'type': 'number', 'maximum': 400}}}
     out = validate_dataset(ds, spec, mode='violations', key_column='event_id')
-    return out.select_columns(['key', 'rule'])
+    return _df_with_columns(out, ['key', 'rule'])
 
 
 # -- per-keyword driver evidence (one query per SURVEY §2.3 keyword) --------

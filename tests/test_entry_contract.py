@@ -1,6 +1,8 @@
-"""Emulates the driver's correctness gate: run every queries() entry at
-sf0.01 and compare against oracle_sql() via DuckDB — row count, column
-names, and order-insensitive values."""
+"""Emulates the driver's correctness gate: run every queries() entry
+and compare against oracle_sql() via DuckDB — row count, column names,
+and order-insensitive values — at BOTH sf0.01 (the driver's scale) and
+sf0.001 (catches sf-hardcoding; exercises empty-result schema
+preservation)."""
 
 import math
 
@@ -19,14 +21,18 @@ def contract(ray_session):
     return mod
 
 
-@pytest.fixture(scope='module')
-def ddb():
+def _ddb(sf):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             "CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
-            .format(t=t, sf=SF))
+            .format(t=t, sf=sf))
     return con
+
+
+@pytest.fixture(scope='module')
+def ddb():
+    return _ddb(SF)
 
 
 def to_pandas(result) -> pd.DataFrame:
@@ -54,14 +60,17 @@ def normalize(df: pd.DataFrame) -> list:
     return sorted(map(repr, rows))
 
 
-def test_all_sql_queries_match_oracle(contract, ddb):
+@pytest.mark.parametrize('sf_dir', [SF, '/root/testdata/sf0.001'],
+                         ids=['sf0.01', 'sf0.001'])
+def test_all_sql_queries_match_oracle(contract, sf_dir):
+    ddb = _ddb(sf_dir)
     queries = contract.queries()
     oracles = contract.oracle_sql()
     assert set(oracles) <= set(queries)
     failures = []
     for name, sql in oracles.items():
         try:
-            mine = to_pandas(queries[name](SF))
+            mine = to_pandas(queries[name](sf_dir))
             theirs = ddb.execute(sql).df()
             if sorted(mine.columns) != sorted(theirs.columns):
                 failures.append((name, 'columns', list(mine.columns),
