@@ -1114,7 +1114,13 @@ class VectorCompiler:
                     raise
                 rule = self._fallback_rule({keyword: definition[keyword]})
             if rule is not None:
-                rules.append(rule)
+                # A keyword may compile to several ordered rules (e.g.
+                # multipleOf's exactness check + 'inifinity reached',
+                # two exc() sites in the reference's one keyword).
+                if isinstance(rule, (list, tuple)):
+                    rules.extend(rule)
+                else:
+                    rules.append(rule)
         # Custom plugin keywords after the built-ins (functions/plugins).
         from .plugins import REGISTRY as _PLUGINS
         for plug_name, plugin in _PLUGINS.items():
@@ -1502,18 +1508,32 @@ class VectorCompiler:
                     return fail
                 return self._simple(definition, 'multipleOf', mask, tail)
 
+        # Second exc() site in the reference's one keyword
+        # (draft04.py:369-371): AFTER the exactness check, a float
+        # division that overflows raises the bare message 'inifinity
+        # reached' (sic, no name prefix) — a separate ordered rule so
+        # collect mode records both violations like the reference does.
+        def inf_fails(v):
+            return v / mo_rt == float('inf')
+
+        inf_rule = self._row_kernel(
+            definition, 'multipleOf', inf_fails,
+            message_fn=lambda view, idx: ['inifinity reached'] * len(idx))
+
         if use_decimal:
             # Decimal-exact per-row check (draft04.py:357-371): 19.01/0.01
             # must be exactly 1901; no float kernel can guarantee that.
             def fails(v):
                 quotient = Decimal(repr(v)) / Decimal(repr(mo_rt))
-                return int(quotient) != quotient or v / mo_rt == float('inf')
-            return self._row_kernel(definition, 'multipleOf', fails, tail)
+                return int(quotient) != quotient
+            return [self._row_kernel(definition, 'multipleOf', fails, tail),
+                    inf_rule]
 
         def fails(v):
             quotient = v / mo_rt
-            return int(quotient) != quotient or v / mo_rt == float('inf')
-        return self._row_kernel(definition, 'multipleOf', fails, tail)
+            return int(quotient) != quotient
+        return [self._row_kernel(definition, 'multipleOf', fails, tail),
+                inf_rule]
 
     # -- array keywords --------------------------------------------------
 

@@ -1,0 +1,141 @@
+"""Pin the reference's KNOWN divergences from the official
+JSON-Schema-Test-Suite — the areas its own harness marks xfail
+(``/root/reference/tests/json_schema/test_draft04.py:10-18``,
+``test_draft06.py:10-20``, ``test_draft07.py:10-28``: ecmascript-regex,
+float-overflow, date-time/date/time, idn-hostname, iri, unknownKeyword,
+id/ref resolution, cross-draft).  The official suite submodule is empty
+in this checkout, so each xfailed file is represented here by its
+best-known cases (reconstructed from the public suite), and every case
+asserts BOTH:
+
+1. the engine reproduces the REFERENCE's behavior bit-for-bit
+   (``assert_parity``: full exception payload), and
+2. the reference's verdict is the pinned one — flagging loudly if the
+   divergence surface ever moves (``ref_valid`` is the reference's
+   actual verdict; ``spec_valid`` is what the official suite expects,
+   ``None`` when the suite has no counterpart).
+
+Where ``ref_valid != spec_valid`` the case is a deliberate
+bug-for-bug-compatibility pin, NOT an endorsement of the behavior.
+"""
+
+import copy
+
+import pyarrow as pa
+import pytest
+
+import python_fastjsonschema_ray as engine
+
+from .test_scalar_parity import assert_parity, outcome
+from .test_vector_parity import assert_table_parity
+
+D4 = 'http://json-schema.org/draft-04/schema'
+D6 = 'http://json-schema.org/draft-06/schema'
+D7 = 'http://json-schema.org/draft-07/schema'
+
+# (label, draft_uri, schema, data, ref_valid, spec_valid, vector_ok)
+# vector_ok: run the one-column table wrap too (False for root-$id /
+# $ref shapes where wrapping changes resolution scope).
+CASES = [
+    # -- ecmascript-regex.json: Python re vs ECMA 262 semantics --------
+    ('ecma-dollar-trailing-newline', D7,
+     {'pattern': '^abc$'}, 'abc\n', False, False, True),
+    ('ecma-digit-class-unicode', D7,
+     {'pattern': '^\\d+$'}, '१', True, False, True),
+    ('ecma-word-class-unicode', D7,
+     {'pattern': '^\\w+$'}, 'é', True, False, True),
+    ('ecma-bell-escape', D4,
+     {'pattern': '\\a'}, '', False, None, True),
+    # -- float-overflow.json -------------------------------------------
+    ('float-overflow-integer-multipleof', D7,
+     {'type': 'integer', 'multipleOf': 0.5}, 1e308, False, True, True),
+    # -- date-time.json / date.json / time.json: regex-only formats ----
+    ('datetime-feb-31', D7,
+     {'format': 'date-time'}, '1990-02-31T15:59:59.000Z',
+     True, False, True),
+    ('datetime-lowercase-t-z', D7,
+     {'format': 'date-time'}, '1998-12-31t23:59:59z', True, True, True),
+    ('date-feb-30', D7,
+     {'format': 'date'}, '2021-02-30', True, False, True),
+    ('time-leap-second-zulu', D7,
+     {'format': 'time'}, '23:59:60Z', True, True, True),
+    ('time-leap-second-wrong-offset', D7,
+     {'format': 'time'}, '12:00:60+01:00', True, False, True),
+    ('time-missing-offset', D7,
+     {'format': 'time'}, '08:30:06', True, False, True),
+    # -- idn-hostname.json / iri.json -----------------------------------
+    ('idn-hostname-illegal-first-char', D7,
+     {'format': 'idn-hostname'}, '〮〯', False, False, True),
+    ('iri-invalid-host', D7,
+     {'format': 'iri'}, 'http://2001:0db8::1/', True, False, True),
+    # -- unknownKeyword.json: $id inside an unknown keyword -------------
+    ('unknown-keyword-id-is-indexed', D7,
+     {'definitions': {
+         'id_in_unknown0': {'not': {'array_of_A': {
+             '$id': 'https://localhost:1234/unknownKeyword/my_identifier.json',
+             'type': 'null'}}},
+         'real_id_in_schema': {
+             '$id': 'https://localhost:1234/unknownKeyword/my_identifier.json',
+             'type': 'string'}},
+      'allOf': [
+          {'$ref': '#/definitions/id_in_unknown0'},
+          {'$ref': 'https://localhost:1234/unknownKeyword/my_identifier.json'}]},
+     'a string to match', False, True, False),
+    # -- id.json (draft4) / ref.json (draft6/7) --------------------------
+    ('draft4-location-independent-id', D4,
+     {'allOf': [{'$ref': '#foo'}],
+      'definitions': {'A': {'id': '#foo', 'type': 'integer'}}},
+     1, True, True, False),
+    ('draft7-location-independent-id-invalid-data', D7,
+     {'allOf': [{'$ref': '#foo'}],
+      'definitions': {'A': {'$id': '#foo', 'type': 'integer'}}},
+     'x', False, False, False),
+    ('draft7-ref-sibling-id-base', D7,
+     {'$id': 'http://localhost:1234/sibling_id/base/',
+      'definitions': {
+          'foo': {'$id': 'http://localhost:1234/sibling_id/foo.json',
+                  'type': 'string'},
+          'base_foo': {'$id': 'foo.json', 'type': 'number'}},
+      'allOf': [{'$id': 'http://localhost:1234/sibling_id/',
+                 '$ref': 'foo.json'}]},
+     1, True, True, False),
+]
+
+
+def _with_draft(schema, draft_uri):
+    s = copy.deepcopy(schema)
+    s.setdefault('$schema', draft_uri)
+    return s
+
+
+@pytest.mark.parametrize(
+    'label,draft_uri,schema,data,ref_valid,spec_valid,vector_ok',
+    CASES, ids=[c[0] for c in CASES])
+def test_reference_divergence_pinned(reference, label, draft_uri, schema,
+                                     data, ref_valid, spec_valid,
+                                     vector_ok):
+    s = _with_draft(schema, draft_uri)
+    # 1. the reference's verdict is the pinned one
+    theirs = outcome(reference.compile, s, data)
+    assert (theirs[0] == 'ok') == ref_valid, (
+        'reference verdict moved for {}: {!r}'.format(label, theirs))
+    # 2. engine == reference, full payload
+    assert_parity(reference, s, data)
+    # 3. vector path agrees too (one-column wrap)
+    if vector_ok:
+        wrapped = {'$schema': draft_uri,
+                   'properties': {'col': copy.deepcopy(schema)}}
+        try:
+            col = pa.array([data])
+        except Exception:
+            return
+        assert_table_parity(reference, wrapped, pa.table({'col': col}),
+                            fast_fail=True)
+
+
+def test_divergence_list_covers_every_xfailed_file():
+    """One pinned case per xfailed suite file (the parity surface the
+    reference's own harness excludes)."""
+    covered = {c[0].split('-')[0] for c in CASES}
+    assert {'ecma', 'float', 'datetime', 'date', 'time', 'idn',
+            'iri', 'unknown', 'draft4', 'draft7'} <= covered
