@@ -71,6 +71,9 @@ def __getattr__(name):
                 'ngram_jaccard_pairs'):
         from .stages import dedup as _dedup
         return getattr(_dedup, name)
+    if name in ('urllib_handler', 'urllib_handlers'):
+        from .functions import refs as _refs
+        return getattr(_refs, name)
     if name in ('read_table', 'write_table'):
         from .sources import reader as _reader
         return getattr(_reader, name)

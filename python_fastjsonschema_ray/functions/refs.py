@@ -10,7 +10,9 @@ Deliberate divergence from the reference: there is **no implicit urllib
 fetch** — a remote URI with no registered handler raises
 ``JsonSchemaDefinitionException`` (the reference itself warns about the SSRF
 risk at ``__init__.py:221-228``; an engine meant to run unattended on a
-cluster must not perform network I/O from schema contents).
+cluster must not perform network I/O from schema contents).  Users who
+WANT the reference's fetch-by-default behavior opt in explicitly:
+``compile(schema, handlers=urllib_handlers())``.
 """
 
 from __future__ import annotations
@@ -48,6 +50,59 @@ def resolve_pointer(schema, fragment: str):
             raise JsonSchemaDefinitionException(
                 'Unresolvable ref: {}'.format(token))
     return schema
+
+
+def urllib_handler(allowed_prefixes=None):
+    """OPT-IN remote ``$ref`` fetcher with the reference's
+    ``resolve_remote`` semantics (``ref_resolver.py:53-74``): fetch via
+    :mod:`urllib`, decode with the response charset (utf-8 default),
+    and raise ``JsonSchemaDefinitionException('{uri} failed to
+    decode')`` on invalid JSON.
+
+    .. warning::
+
+        Same SSRF warning as the reference (``__init__.py:221-228``):
+        a schema containing ``$ref`` can trigger outbound HTTP requests
+        to arbitrary URLs, including internal or loopback addresses.
+        Never enable this for untrusted schemas; pass
+        ``allowed_prefixes`` to restrict which URIs may be fetched, or
+        pre-resolve references instead.  This engine never fetches by
+        default — unlike the reference, the handler must be registered
+        explicitly (``handlers=urllib_handlers()``).
+    """
+    import json
+
+    prefixes = tuple(allowed_prefixes) if allowed_prefixes else None
+
+    def handler(uri):
+        if prefixes is not None and not uri.startswith(prefixes):
+            raise JsonSchemaDefinitionException(
+                'Remote ref {} not under an allowed prefix'.format(uri))
+        from urllib.request import urlopen
+
+        with urlopen(uri) as response:
+            charset = 'utf-8'
+            try:
+                charset = response.info().get_content_charset() or 'utf-8'
+            except AttributeError:
+                pass  # file:// responses have no charset header
+            try:
+                return json.loads(response.read().decode(charset))
+            except ValueError as exc:
+                raise JsonSchemaDefinitionException(
+                    '{} failed to decode'.format(uri)) from exc
+
+    return handler
+
+
+def urllib_handlers(schemes=('http', 'https', 'file'),
+                    allowed_prefixes=None):
+    """Scheme→fetcher mapping enabling the reference's default remote
+    resolution, explicitly: ``compile(schema,
+    handlers=urllib_handlers())``.  See :func:`urllib_handler` for the
+    SSRF warning and the ``allowed_prefixes`` guard."""
+    h = urllib_handler(allowed_prefixes)
+    return {scheme: h for scheme in schemes}
 
 
 class SchemaRegistry:

@@ -1,0 +1,178 @@
+"""Opt-in urllib remote ``$ref`` handler vs the reference's implicit
+urllib fetch, against a REAL local HTTP server.
+
+The reference fetches unknown-scheme remotes automatically via urllib
+(``/root/reference/fastjsonschema/ref_resolver.py:53-74``) and carries
+an SSRF warning (``__init__.py:221-228``); the engine never fetches by
+default and ships the same machinery as an explicit opt-in
+(``urllib_handlers()``).  Here every remote-$ref conformance group is
+served from ``http://localhost:1234`` by a live ``http.server`` and:
+
+1. engine-with-``urllib_handlers()`` == reference-with-NO-handlers
+   (its implicit urllib path) — true end-to-end network parity;
+2. engine-with-no-handlers still refuses (the documented security
+   divergence stays pinned);
+3. ``allowed_prefixes`` restricts what may be fetched;
+4. invalid JSON raises the reference's exact 'failed to decode' error.
+"""
+
+import copy
+import http.server
+import json
+import os
+import socket
+import threading
+
+import pytest
+
+import python_fastjsonschema_ray as engine
+from python_fastjsonschema_ray.functions.refs import (
+    urllib_handler, urllib_handlers)
+
+HERE = os.path.dirname(__file__)
+PORT = 1234
+DRAFT_URI = {
+    4: 'http://json-schema.org/draft-04/schema',
+    6: 'http://json-schema.org/draft-06/schema',
+    7: 'http://json-schema.org/draft-07/schema',
+    2019: None,
+}
+
+
+def _load_groups():
+    with open(os.path.join(HERE, 'conformance', 'remote.json')) as f:
+        return json.load(f)
+
+
+def _all_remotes():
+    docs = {}
+    for g in _load_groups():
+        docs.update(g['remotes'])
+    return docs
+
+
+@pytest.fixture(scope='module')
+def remote_server():
+    """Serve every conformance remote document on localhost:1234 (the
+    URL baked into the suite's $refs)."""
+    docs = {}
+    for url, doc in _all_remotes().items():
+        # http://localhost:1234/integer.json -> /integer.json
+        path = url.split('localhost:1234', 1)[1]
+        docs[path] = json.dumps(doc).encode()
+    docs['/not-json.json'] = b'{ this is not json'
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            body = docs.get(self.path)
+            if body is None:
+                self.send_error(404)
+                return
+            self.send_response(200)
+            self.send_header('Content-Type',
+                             'application/json; charset=utf-8')
+            self.send_header('Content-Length', str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):       # quiet
+            pass
+
+    try:
+        srv = http.server.ThreadingHTTPServer(('127.0.0.1', PORT), Handler)
+    except OSError:
+        pytest.skip('port {} unavailable'.format(PORT))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield 'http://localhost:{}'.format(PORT)
+    srv.shutdown()
+    srv.server_close()
+
+
+def _outcome(validate, data, value_exc):
+    try:
+        return ('ok', validate(copy.deepcopy(data)))
+    except value_exc as exc:
+        return ('fail', exc.name, exc.message, exc.rule, exc.definition)
+
+
+def _with_draft(schema, draft):
+    s = copy.deepcopy(schema)
+    if isinstance(s, dict) and DRAFT_URI[draft] is not None:
+        s.setdefault('$schema', DRAFT_URI[draft])
+    return s
+
+
+def test_remote_groups_over_live_http(reference, remote_server):
+    """Every remote-$ref conformance group passes with the opt-in
+    urllib handler, matching the reference's IMPLICIT urllib fetch on
+    the same live server."""
+    ran = 0
+    for group in _load_groups():
+        schema = _with_draft(group['schema'], group['draft'])
+        # Reference: no handlers at all -> its default urllib path.
+        ref_v = reference.compile(copy.deepcopy(schema))
+        eng_v = engine.compile(copy.deepcopy(schema),
+                               handlers=urllib_handlers())
+        for t in group['tests']:
+            expected = _outcome(ref_v, t['data'],
+                                reference.JsonSchemaValueException)
+            got = _outcome(eng_v, t['data'],
+                           engine.JsonSchemaValueException)
+            ctx = '{} / {}'.format(group['description'], t['description'])
+            assert got == expected, ctx
+            assert (got[0] == 'ok') == t['valid'], ctx
+            ran += 1
+    assert ran >= 30
+
+
+def test_no_handler_still_refuses(remote_server):
+    """The security divergence stays: without the opt-in, remote refs
+    raise instead of fetching."""
+    schema = {'$ref': remote_server + '/integer.json'}
+    with pytest.raises(engine.JsonSchemaDefinitionException,
+                       match='no registered handler'):
+        engine.compile(schema)
+
+
+def test_allowed_prefixes_guard(remote_server):
+    ok = engine.compile(
+        {'$ref': remote_server + '/integer.json'},
+        handlers=urllib_handlers(
+            allowed_prefixes=[remote_server + '/integer']))
+    assert ok(5) == 5
+    with pytest.raises(engine.JsonSchemaDefinitionException,
+                       match='not under an allowed prefix'):
+        engine.compile(
+            {'$ref': remote_server + '/integer.json'},
+            handlers=urllib_handlers(
+                allowed_prefixes=['https://schemas.example.com/']))
+
+
+def test_invalid_json_matches_reference_error(reference, remote_server):
+    """Non-JSON payload: both sides raise '<uri> failed to decode'."""
+    uri = remote_server + '/not-json.json'
+    schema = {'$ref': uri}
+    with pytest.raises(engine.JsonSchemaDefinitionException) as eng_exc:
+        engine.compile(copy.deepcopy(schema), handlers=urllib_handlers())
+    with pytest.raises(Exception) as ref_exc:
+        reference.compile(copy.deepcopy(schema))
+    assert str(eng_exc.value) == '{} failed to decode'.format(uri)
+    assert str(ref_exc.value) == str(eng_exc.value)
+
+
+def test_file_scheme_handler(tmp_path):
+    doc = tmp_path / 'remote_schema.json'
+    doc.write_text(json.dumps({'type': 'integer', 'minimum': 3}))
+    uri = doc.as_uri()
+    v = engine.compile({'$ref': uri}, handlers=urllib_handlers())
+    assert v(4) == 4
+    with pytest.raises(engine.JsonSchemaValueException):
+        v(2)
+
+
+def test_handler_lazy_export():
+    assert engine.urllib_handlers is urllib_handlers
+    h = urllib_handler(allowed_prefixes=['http://nowhere.example/'])
+    with pytest.raises(engine.JsonSchemaDefinitionException):
+        h('http://other.example/x.json')
