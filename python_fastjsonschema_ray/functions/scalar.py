@@ -1040,16 +1040,89 @@ def validate(definition, data, handlers=None, formats=None, use_default=True,
     )(data)
 
 
+_RUNTIME_MODULES = ('exceptions', 'functions.formats', 'functions.refs',
+                    'functions.plugins', 'functions.scalar')
+
+
+def _embedded_runtime_blobs():
+    """(name, is_pkg, zlib+base64 source) rows for the scalar-validator
+    runtime, vendored into compile_to_code artifacts under the private
+    package name ``_pfjr_rt`` so the artifact imports with ZERO library
+    dependency (and never shadows a real install)."""
+    import base64
+    import importlib
+    import inspect
+    import zlib
+
+    def blob(src):
+        return base64.b64encode(
+            zlib.compress(src.encode('utf-8'), 9)).decode('ascii')
+
+    rows = [('_pfjr_rt', True, blob('VERSION = {!r}\n'.format(
+        __import__(__package__.split('.')[0]).VERSION))),
+            ('_pfjr_rt.functions', True, blob(''))]
+    root = __package__.rsplit('.', 1)[0]        # python_fastjsonschema_ray
+    for rel in _RUNTIME_MODULES:
+        mod = importlib.import_module(root + '.' + rel)
+        rows.append(('_pfjr_rt.' + rel, False, blob(inspect.getsource(mod))))
+    return rows
+
+
+_ARTIFACT_BOOTSTRAP = '''
+import base64 as _b64
+import sys as _sys
+import types as _types
+import zlib as _zlib
+
+
+def _load_runtime():
+    """Prefer an installed engine; otherwise exec the embedded runtime
+    (private package name, so a later real install is never shadowed)."""
+    try:
+        from python_fastjsonschema_ray.functions import scalar as _s
+        return _s
+    except ImportError:
+        pass
+    if '_pfjr_rt.functions.scalar' not in _sys.modules:
+        for _name, _is_pkg, _blob in _EMBEDDED_RUNTIME:
+            _mod = _types.ModuleType(_name)
+            if _is_pkg:
+                _mod.__path__ = []
+            _mod.__package__ = _name if _is_pkg else _name.rsplit('.', 1)[0]
+            _sys.modules[_name] = _mod
+        for _name, _is_pkg, _blob in _EMBEDDED_RUNTIME:
+            _src = _zlib.decompress(_b64.b64decode(_blob)).decode('utf-8')
+            exec(compile(_src, '<embedded {}>'.format(_name), 'exec'),
+                 _sys.modules[_name].__dict__)
+    return _sys.modules['_pfjr_rt.functions.scalar']
+
+
+_scalar = _load_runtime()
+_exceptions = _sys.modules[_scalar.__name__.rsplit('.', 2)[0]
+                           + '.exceptions']
+JsonSchemaException = _exceptions.JsonSchemaException
+JsonSchemaValueException = _exceptions.JsonSchemaValueException
+JsonSchemaValuesException = _exceptions.JsonSchemaValuesException
+JsonSchemaDefinitionException = _exceptions.JsonSchemaDefinitionException
+'''
+
+
 def compile_to_code(definition, handlers=None, formats=None, use_default=True,
                     use_formats=True, detailed_exceptions=True,
                     fast_fail=True):
     """Deployment-artifact analog of the reference's ``compile_to_code``
-    (``__init__.py:294-341``).  The reference serializes generated source;
-    this engine has no codegen, so the artifact embeds the (ref-validated)
-    schema + flags and recompiles the closure tree on import — same
-    contract: write the string to a module, import it, call
-    ``validate(data)``.  Custom *callable* formats cannot be serialized and
-    must be re-bound at import time via ``CUSTOM_FORMATS``."""
+    (``__init__.py:294-341``).  The reference serializes generated source
+    that still imports ``fastjsonschema`` for its exception classes; this
+    engine's artifact goes further and is fully SELF-CONTAINED: it embeds
+    the (ref-validated) schema + flags plus the scalar-validator runtime
+    itself (zlib/base64, ~5 small modules vendored under the private name
+    ``_pfjr_rt``), so it imports and validates with the package entirely
+    absent from the environment.  When the package IS installed the
+    artifact uses it instead (shared regex caches, plugin registry).
+    Same contract as the reference: write the string to a module, import
+    it, call ``validate(data)``.  Custom *callable* formats cannot be
+    serialized and must be re-bound at import time via
+    ``CUSTOM_FORMATS``."""
     if handlers:
         raise JsonSchemaDefinitionException(
             'compile_to_code with remote handlers is not supported: resolve '
@@ -1066,16 +1139,21 @@ def compile_to_code(definition, handlers=None, formats=None, use_default=True,
     has_callables = any(not isinstance(v, str) for v in (formats or {}).values())
     lines = [
         'VERSION = {!r}'.format(VERSION),
-        'from python_fastjsonschema_ray.functions.scalar import compile as _compile',
         'SCHEMA = {!r}'.format(definition),
         'CUSTOM_FORMATS = {!r}'.format(regex_formats),
+        '_EMBEDDED_RUNTIME = [',
     ]
+    for name, is_pkg, b in _embedded_runtime_blobs():
+        lines.append('    ({!r}, {!r},'.format(name, is_pkg))
+        lines.append('     {!r}),'.format(b))
+    lines.append(']')
+    lines.append(_ARTIFACT_BOOTSTRAP)
     if has_callables:
         lines.append('# NOTE: callable custom formats were bound at '
                      'compile time and must be re-added to CUSTOM_FORMATS '
                      'before use.')
     lines.append(
-        'validate = _compile(SCHEMA, formats=CUSTOM_FORMATS, '
+        'validate = _scalar.compile(SCHEMA, formats=CUSTOM_FORMATS, '
         'use_default={!r}, use_formats={!r}, detailed_exceptions={!r}, '
         'fast_fail={!r})'.format(use_default, use_formats,
                                  detailed_exceptions, fast_fail))
