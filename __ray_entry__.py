@@ -148,6 +148,31 @@ def q_unique_events(sf_dir: str):
     return _df_with_columns(check_unique(ds, ['event_id']), ['event_id', 'n'])
 
 
+def q_phash_near_dup_documents(sf_dir: str):
+    """Hamming near-dup over 64-bit signatures (pigeonhole banding +
+    tiled popcount verify, stages/dedup.py:hamming_near_dup).  The
+    synthetic corpus has no phash column, so one derives
+    deterministically from doc_id: the id's 16-block index replicates
+    into the three high 16-bit chunks (so only same-block pairs can sit
+    within distance 2 — every LSH bucket stays <= block-sized) and the
+    low chunk carries the 2 varying bits.  The SQL oracle repeats the
+    formula and brute-forces xor/bit_count over the id self-join."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    from python_fastjsonschema_ray.stages.dedup import hamming_near_dup
+    ds = _read(sf_dir, 'documents', ['doc_id'])
+
+    def derive(b: pa.Table) -> pa.Table:
+        d = np.asarray(b.column('doc_id'), dtype=np.int64)
+        g = d // 16
+        ph = (g << 48) | (g << 32) | (g << 16) | (g * 4 + d % 4)
+        return b.append_column('phash', pa.array(ph))
+
+    sigs = ds.map_batches(derive, batch_format='pyarrow')
+    out = hamming_near_dup(sigs, 'doc_id', 'phash', max_dist=2)
+    return _df_with_columns(out, ['id_a', 'id_b', 'dist'])
+
+
 def q_dedup_exact_documents(sf_dir: str):
     """Exact dedup winners (min doc_id per distinct text) — pure
     groupby-aggregate, no per-group pandas overhead."""
@@ -1629,6 +1654,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         'referential_orders': q_referential_orders,
         'unique_events': q_unique_events,
         'dedup_exact_documents': q_dedup_exact_documents,
+        'phash_near_dup_documents': q_phash_near_dup_documents,
         'token_count_documents': q_token_count_documents,
         'quality_documents': q_quality_documents,
         'topk_documents': q_topk_documents,
@@ -1782,6 +1808,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         'dedup_exact_documents': """
             SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        'phash_near_dup_documents': """
+            -- The construction replicates the block index into the 3
+            -- high chunks, so any cross-block pair has bit_count >= 3:
+            -- the equi-join on the block is exactly the <=2 candidate
+            -- set (keeps the oracle O(n*blocksize), cheap at sf0.1).
+            WITH p AS (
+                SELECT doc_id, doc_id // 16 AS grp,
+                       (doc_id // 16) * 281474976710656
+                       + (doc_id // 16) * 4294967296
+                       + (doc_id // 16) * 65536
+                       + (doc_id // 16) * 4 + (doc_id % 4) AS ph
+                FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS dist
+            FROM p a JOIN p b
+              ON a.grp = b.grp AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.ph, b.ph)) <= 2
         """,
         'token_count_documents': """
             SELECT doc_id,

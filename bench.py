@@ -173,6 +173,7 @@ def main():
         'range_violations_lineitem', 'stats_lineitem', 'group_stats_lineitem',
         'token_count_documents', 'minhash_pairs_documents', 'ann_topk',
         'dedup_exact_documents', 'unique_events', 'components_orders',
+        'curate_documents',
     }
     if '--only' in sys.argv:
         # Profiling aid: bench only the named queries (comma-separated,

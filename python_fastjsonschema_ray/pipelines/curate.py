@@ -55,7 +55,8 @@ def curate_corpus(ds, *, id_column='doc_id', text_column='text',
     missing one.  This is the 100-TB posture: a crashed curation job
     re-reads the last finished stage instead of recomputing the
     corpus."""
-    import numpy as np
+    import numpy as np  # noqa: F401 (stage kernels)
+    import pyarrow as pa
 
     from ..stages.chunk import RepetitionStage, chunk_text
     from ..stages.clean import normalize_text
@@ -86,19 +87,27 @@ def curate_corpus(ds, *, id_column='doc_id', text_column='text',
     # 2. One actor-pool pass adds n_tokens/quality/lang/fingerprint.
     ds = analyze_text(ds, text_column)
 
-    # 3. Threshold filters — pure per-batch masks.
+    # 3. Threshold filters — pure per-batch Arrow masks (zero-copy from
+    #    the object store; null lang/score never passes).
     if languages is not None or min_quality is not None:
-        keep_langs = set(languages) if languages is not None else None
+        keep_langs = (pa.array(sorted(set(languages)))
+                      if languages is not None else None)
+        floor = float(min_quality) if min_quality is not None else None
 
-        def keep(batch):
-            mask = np.ones(len(batch), dtype=bool)
+        def keep(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            mask = None
             if keep_langs is not None:
-                mask &= batch['lang_pred'].isin(keep_langs).to_numpy()
-            if min_quality is not None:
-                mask &= (batch['quality_score'].to_numpy() >= min_quality)
-            return batch[mask]
+                mask = pc.fill_null(
+                    pc.is_in(batch.column('lang_pred'),
+                             value_set=keep_langs), False)
+            if floor is not None:
+                m2 = pc.fill_null(pc.greater_equal(
+                    batch.column('quality_score'), floor), False)
+                mask = m2 if mask is None else pc.and_(mask, m2)
+            return batch.filter(mask)
 
-        ds = ds.map_batches(keep, batch_format='pandas')
+        ds = ds.map_batches(keep, batch_format='pyarrow')
         ds = checkpoint(ds, 'after_lang_quality')
 
     # The next two stages FAN OUT over `ds` (winner-id extraction and
@@ -146,11 +155,15 @@ def curate_corpus(ds, *, id_column='doc_id', text_column='text',
         rep = RepetitionStage(id_column, text_column)
         ceiling = float(max_dup_char_ratio)
 
-        def unrepetitive(batch):
-            ratios = rep(batch)['dup_char_ratio'].to_numpy()
-            return batch[ratios <= ceiling]
+        def unrepetitive(batch: pa.Table) -> pa.Table:
+            # Only (id, text) convert to pandas (RepetitionStage's
+            # factorize kernel is pandas-native); the batch itself is
+            # filtered zero-copy in Arrow.
+            sub = batch.select([id_column, text_column]).to_pandas()
+            ratios = rep(sub)['dup_char_ratio'].to_numpy()
+            return batch.filter(pa.array(ratios <= ceiling))
 
-        ds = ds.map_batches(unrepetitive, batch_format='pandas')
+        ds = ds.map_batches(unrepetitive, batch_format='pyarrow')
         ds = checkpoint(ds, 'after_repetition')
 
     # 8. Optional chunking: output becomes (id, chunk_idx, chunk_text).
