@@ -67,6 +67,210 @@ class DecodeCheckStage:
             return False, str(exc), None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Fully vectorized path: header parsing, magic/size checks and
+        the phash gather all run as numpy array ops over the batch's
+        shared Arrow binary buffer; ONLY anomalous rows (null blobs,
+        unknown fmt, headers the clean digits-space-digits parse can't
+        claim) drop to the per-row reference decode.  Any parse
+        ambiguity routes to the fallback, whose error strings and
+        results coincide with the fast path by construction
+        (``decode_image`` uses the same messages), so outcomes are
+        bit-identical to :meth:`_call_rowloop` — asserted by the
+        differential test in tests/test_images.py."""
+        import pyarrow.compute as pc
+
+        arr = batch.column('bytes').combine_chunks()
+        n = len(arr)
+        if n == 0:
+            return pa.table({name: pa.array([], type=t)
+                             for name, t in DECODE_RESULT_FIELDS})
+        off_dtype = (np.int64 if pa.types.is_large_binary(arr.type)
+                     else np.int32)
+        off = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[
+            arr.offset:arr.offset + n + 1].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) \
+            if arr.buffers()[2] is not None else np.zeros(0, np.uint8)
+        gdata = data if data.size else np.zeros(1, np.uint8)
+        sizes = off[1:] - off[:-1]
+        blob_null = (~np.asarray(arr.is_valid()) if arr.null_count
+                     else np.zeros(n, dtype=bool))
+
+        fmt_arr = batch.column('fmt').combine_chunks()
+
+        def fmt_eq(f):
+            return np.asarray(pc.fill_null(pc.equal(fmt_arr, f), False))
+
+        is_raw = fmt_eq('raw') & ~blob_null
+        is_ppm = fmt_eq('ppm') & ~blob_null
+        is_lossy = fmt_eq('lossy') & ~blob_null
+
+        w_arr = batch.column('w').combine_chunks()
+        h_arr = batch.column('h').combine_chunks()
+        ph_arr = batch.column('phash').combine_chunks()
+        w_valid = np.asarray(pc.is_valid(w_arr))
+        h_valid = np.asarray(pc.is_valid(h_arr))
+        ph_valid = np.asarray(pc.is_valid(ph_arr))
+        ws_np = np.asarray(pc.fill_null(w_arr.cast(pa.int64()), 0))
+        hs_np = np.asarray(pc.fill_null(h_arr.cast(pa.int64()), 0))
+        ph_np = np.asarray(pc.fill_null(ph_arr.cast(pa.int64()), 0))
+
+        ok = np.zeros(n, dtype=bool)
+        errs = [None] * n
+        dw = np.zeros(n, dtype=np.int64)
+        dh = np.zeros(n, dtype=np.int64)
+        body = np.zeros(n, dtype=np.int64)
+        slow_mask = ~(is_raw | is_ppm | is_lossy)
+
+        # raw: size arithmetic only.
+        r_need = is_raw & (~w_valid | ~h_valid)
+        r_rest = is_raw & w_valid & h_valid
+        # Float compare: junk int64 dims could wrap an int64 product into
+        # a false equality; a float64 product only loses precision past
+        # 2^53, where it vastly exceeds any real payload size anyway.
+        with np.errstate(over='ignore'):
+            r_bad = r_rest & (sizes.astype(np.float64)
+                              != ws_np.astype(np.float64)
+                              * hs_np.astype(np.float64) * 3.0)
+        r_ok = r_rest & ~r_bad
+        ok |= r_ok
+        dw[r_ok] = ws_np[r_ok]
+        dh[r_ok] = hs_np[r_ok]
+        body[r_ok] = off[:-1][r_ok]
+        for i in np.nonzero(r_need)[0]:
+            errs[i] = 'raw needs dimensions'
+        for i in np.nonzero(r_bad)[0]:
+            errs[i] = 'raw payload size mismatch'
+
+        # ppm/lossy: one 32-byte header gather for the whole batch, then
+        # vectorized magic check + newline find + Horner digit parse.
+        hdr_rows = np.nonzero(is_ppm | is_lossy)[0]
+        if len(hdr_rows):
+            o0 = off[:-1][hdr_rows]
+            sz = sizes[hdr_rows]
+            span = np.minimum(sz, 32)
+            pos32 = np.arange(32, dtype=np.int64)
+            hdr = gdata[np.minimum(o0[:, None] + pos32[None, :],
+                                   gdata.size - 1)].astype(np.int64)
+            hdr[pos32[None, :] >= span[:, None]] = 0
+            m = len(hdr_rows)
+            rowsel = np.arange(m)
+            is_l = is_lossy[hdr_rows]
+            magic_ok = ((hdr[:, 0] == np.where(is_l, 76, 80))    # L / P
+                        & (hdr[:, 1] == 54) & (hdr[:, 2] == 32))  # '6 '
+            nl = (hdr == 10).argmax(axis=1)
+            has_nl = hdr[rowsel, nl] == 10
+
+            def digit_run(start):
+                # Clean [0-9]{1,7} run; anything longer/messier routes
+                # to the reference fallback (whose int() parse and
+                # error strings coincide anyway).  7-digit cap keeps
+                # w*h*3 far inside int64.
+                val = np.zeros(m, dtype=np.int64)
+                p = start.astype(np.int64).copy()
+                got = np.zeros(m, dtype=bool)
+                active = np.ones(m, dtype=bool)
+                for _ in range(7):
+                    c = hdr[rowsel, np.minimum(p, 31)]
+                    isd = active & (p < nl) & (c >= 48) & (c <= 57)
+                    val = np.where(isd, val * 10 + (c - 48), val)
+                    got |= isd
+                    p = np.where(isd, p + 1, p)
+                    active = isd
+                c_end = hdr[rowsel, np.minimum(p, 31)]
+                overlong = active & (p < nl) & (c_end >= 48) & (c_end <= 57)
+                return val, p, got & ~overlong
+
+            w_val, p1, w_clean = digit_run(np.full(m, 3, dtype=np.int64))
+            w_term = (p1 < nl) & (hdr[rowsel, np.minimum(p1, 31)] == 32)
+            h_val, p2, h_clean = digit_run(p1 + 1)
+            h_term = (p2 == nl) | ((p2 < nl)
+                                   & (hdr[rowsel, np.minimum(p2, 31)] == 32))
+            parsed = magic_ok & has_nl & w_clean & w_term \
+                & h_clean & h_term
+            good_size = (sz - (nl + 1)) == w_val * h_val * 3
+            okm = parsed & good_size
+            gi = hdr_rows[okm]
+            ok[gi] = True
+            dw[gi] = w_val[okm]
+            dh[gi] = h_val[okm]
+            body[gi] = (o0 + nl + 1)[okm]
+            for j in np.nonzero(~magic_ok)[0]:
+                errs[hdr_rows[j]] = 'bad {} magic'.format(
+                    'lossy' if is_l[j] else 'ppm')
+            for j in np.nonzero(parsed & ~good_size)[0]:
+                errs[hdr_rows[j]] = '{} payload size mismatch'.format(
+                    'lossy' if is_l[j] else 'ppm')
+            slow_mask[hdr_rows[magic_ok & ~parsed]] = True
+
+        # Reference fallback for anomalous rows — exact error strings.
+        slow_pixels = {}
+        for i in np.nonzero(slow_mask)[0]:
+            blob = arr[i].as_py()
+            row_ok, err, pixels = self._fallback_row(
+                blob, fmt_arr[i].as_py(), w_arr[i].as_py(),
+                h_arr[i].as_py())
+            ok[i] = row_ok
+            errs[i] = err
+            if row_ok:
+                slow_pixels[i] = pixels
+                dh[i], dw[i] = pixels.shape[:2]
+
+        # Vectorized 8x8 phash over every fast-path-decoded image: one
+        # gather from the shared buffer, one channel sum, one packbits.
+        computed = np.zeros(n, dtype=np.int64)
+        fast_ok = ok.copy()
+        for i in slow_pixels:
+            fast_ok[i] = False
+        vi = np.nonzero(fast_ok)[0]
+        if len(vi):
+            wv, hv, bs = dw[vi], dh[vi], body[vi]
+            k = np.arange(8, dtype=np.int64)
+            ys = np.minimum((hv[:, None] * k) // 8, hv[:, None] - 1)
+            xs = np.minimum((wv[:, None] * k) // 8, wv[:, None] - 1)
+            pos = (bs[:, None, None]
+                   + (ys[:, :, None] * wv[:, None, None]
+                      + xs[:, None, :]) * 3)
+            rgb = data[pos[..., None] + np.arange(3, dtype=np.int64)]
+            gray = rgb.sum(axis=3, dtype=np.int32).reshape(len(vi), 64)
+            bits = gray > gray.mean(axis=1)[:, None]
+            packed = np.packbits(bits, axis=1)
+            computed[vi] = packed.view(np.dtype('>u8')).reshape(-1) \
+                .astype(np.uint64).view(np.int64)
+        for i, pixels in slow_pixels.items():
+            computed[i] = average_phash(pixels)
+
+        dims_match = ok & w_valid & h_valid & (dw == ws_np) & (dh == hs_np)
+        phash_match = ok & ph_valid & (computed == ph_np)
+        psnr_np = np.full(n, np.nan)
+        lossy_any = fmt_eq('lossy')
+        psnr_np[fast_ok & lossy_any] = np.inf
+        for i, pixels in slow_pixels.items():
+            if fmt_arr[i].as_py() == 'lossy':
+                p = pixels
+                q = (p.astype(np.int16) - 2) >> 2
+                rq = ((q.astype(np.uint16) << 2) + 2) \
+                    .clip(0, 255).astype(np.uint8)
+                psnr_np[i] = psnr(p, rq)
+
+        dw_out = np.where(ok, dw, 0).astype(np.int32)
+        dh_out = np.where(ok, dh, 0).astype(np.int32)
+        return pa.table({
+            'image_id': batch.column('image_id').combine_chunks()
+            .cast(pa.string()),
+            'decode_ok': pa.array(ok),
+            'decoded_w': pa.array(dw_out, mask=~ok),
+            'decoded_h': pa.array(dh_out, mask=~ok),
+            'dims_match': pa.array(dims_match),
+            'phash_match': pa.array(phash_match),
+            'computed_phash': pa.array(computed, mask=~ok),
+            'psnr_db': pa.array(psnr_np, mask=np.isnan(psnr_np)),
+            'error': pa.array(errs, type=pa.string()),
+        })
+
+    def _call_rowloop(self, batch: pa.Table) -> pa.Table:
+        """Per-row fast-parse reference implementation (the pre-round-4
+        path) — kept as the differential oracle for the vectorized
+        ``__call__``; not used in production."""
         arr = batch.column('bytes').combine_chunks()
         n = len(arr)
         if n == 0:

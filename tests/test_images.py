@@ -96,3 +96,54 @@ def test_per_row_content_invariant():
         assert row['caption'] == truth['caption']
         checked += 1
     assert checked >= 780
+
+
+def test_decode_vectorized_matches_rowloop():
+    """The vectorized __call__ must be outcome-identical to the per-row
+    reference path (_call_rowloop) on a corpus dense with planted
+    violations PLUS handcrafted adversarial rows: null blobs, null
+    dims, unknown/null fmt, bad magic, truncated/whitespace-mangled
+    headers, size mismatches, signed and overlong header ints."""
+    t = image_batch(0, 1500, seed=7, violation_rate=0.15)
+    good = decode_image(t.column('bytes')[0].as_py(), 'ppm') \
+        if t.column('fmt')[0].as_py() == 'ppm' else None  # noqa: F841
+    adv_rows = [
+        # (bytes, fmt, w, h)
+        (None, 'ppm', 3, 3),
+        (None, 'raw', None, 2),
+        (b'', 'ppm', 2, 2),
+        (b'', None, 2, 2),
+        (b'P6 2 2\n' + b'x' * 12, 'ppm', 2, 2),          # clean ok
+        (b'L6 2 2\n' + b'x' * 12, 'lossy', 2, 2),        # clean ok
+        (b'P6 2 2\n' + b'x' * 11, 'ppm', 2, 2),          # size mismatch
+        (b'Q6 2 2\n' + b'x' * 12, 'ppm', 2, 2),          # bad magic
+        (b'P6 2 2\n' + b'x' * 12, 'lossy', 2, 2),        # magic vs fmt
+        (b'P6  2 2\n' + b'x' * 12, 'ppm', 2, 2),         # double space
+        (b'P6 +2 2\n' + b'x' * 12, 'ppm', 2, 2),         # signed int
+        (b'P6 2 2 255\n' + b'x' * 12, 'ppm', 2, 2),      # third field
+        (b'P6 1_2 2\n' + b'x' * 72, 'ppm', 12, 2),       # underscore int
+        (b'P6 99999999 2\n', 'ppm', 2, 2),               # 8-digit dim
+        (b'P6 2 2', 'ppm', 2, 2),                        # no newline
+        (b'P6 ' + b'9' * 40, 'ppm', 2, 2),               # header > 32B
+        (b'x' * 12, 'raw', 2, 2),                        # raw ok
+        (b'x' * 12, 'raw', None, 2),                     # raw null dim
+        (b'x' * 11, 'raw', 2, 2),                        # raw bad size
+        (b'x' * 12, 'webp', 2, 2),                       # unknown fmt
+        (b'P6 0 0\n', 'ppm', 0, 0),                      # zero dims
+    ]
+    import pyarrow as pa
+    base = t.to_pylist()
+    for i, (blob, fmt, w, h) in enumerate(adv_rows):
+        base.append({'image_id': 'adv-%03d' % i, 'bytes': blob,
+                     'w': w, 'h': h, 'fmt': fmt,
+                     'caption': 'adv', 'phash': 0})
+    full = pa.Table.from_pylist(base, schema=t.schema)
+    stage = DecodeCheckStage()
+    fast = stage(full).to_pylist()
+    slow = stage._call_rowloop(full).to_pylist()
+    assert len(fast) == len(slow)
+    for i, (a, b) in enumerate(zip(fast, slow)):
+        assert a == b, (i, full.slice(i, 1).to_pylist(), a, b)
+    # Sliced (non-zero offset) batches read the right buffer windows.
+    sl = full.slice(700, 500)
+    assert stage(sl).to_pylist() == stage._call_rowloop(sl).to_pylist()
