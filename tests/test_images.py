@@ -147,3 +147,45 @@ def test_decode_vectorized_matches_rowloop():
     # Sliced (non-zero offset) batches read the right buffer windows.
     sl = full.slice(700, 500)
     assert stage(sl).to_pylist() == stage._call_rowloop(sl).to_pylist()
+
+
+def test_decode_vectorized_fuzz_headers():
+    """Hypothesis-style fuzz (explicit rng for speed): random header
+    bytes / fmts / dims through both decode paths must agree exactly."""
+    import pyarrow as pa
+    rng = np.random.default_rng(123)
+    alphabet = b'P6L \n0123456789x_+-'
+    rows = []
+    for i in range(600):
+        kind = rng.integers(0, 4)
+        if kind == 0:        # random header + plausible body
+            hdr = bytes(alphabet[j] for j in
+                        rng.integers(0, len(alphabet),
+                                     rng.integers(0, 40)))
+            blob = hdr + bytes(rng.integers(0, 256, 12, dtype=np.uint8))
+        elif kind == 1:      # well-formed with random dims
+            w, h = int(rng.integers(0, 5)), int(rng.integers(0, 5))
+            magic = b'P6 ' if rng.integers(0, 2) else b'L6 '
+            body = bytes(rng.integers(0, 256, w * h * 3, dtype=np.uint8))
+            blob = magic + str(w).encode() + b' ' + str(h).encode() \
+                + b'\n' + body
+        elif kind == 2:      # truncated well-formed
+            blob = b'P6 2 2\n' + b'q' * int(rng.integers(0, 12))
+        else:                # raw body
+            blob = bytes(rng.integers(0, 256,
+                                      rng.integers(0, 16), dtype=np.uint8))
+        fmt = ['ppm', 'lossy', 'raw', 'webp', None][rng.integers(0, 5)]
+        w = [None, 0, 2, 4][rng.integers(0, 4)]
+        h = [None, 0, 2, 4][rng.integers(0, 4)]
+        rows.append({'image_id': 'f-%04d' % i, 'bytes': blob, 'w': w,
+                     'h': h, 'fmt': fmt, 'caption': 'c', 'phash': 0})
+    schema = pa.schema([('image_id', pa.string()), ('bytes', pa.binary()),
+                        ('w', pa.int32()), ('h', pa.int32()),
+                        ('fmt', pa.string()), ('caption', pa.string()),
+                        ('phash', pa.int64())])
+    t = pa.Table.from_pylist(rows, schema=schema)
+    stage = DecodeCheckStage()
+    fast = stage(t).to_pylist()
+    slow = stage._call_rowloop(t).to_pylist()
+    for i, (a, b) in enumerate(zip(fast, slow)):
+        assert a == b, (i, rows[i], a, b)
