@@ -77,12 +77,13 @@ def test_winsorize_matches_numpy(ray_session):
 
     rng = np.random.default_rng(9)
     vals = rng.normal(100, 25, 400).round(2)
-    df = pd.DataFrame({'v': vals})
+    df = pd.DataFrame({'id': np.arange(400), 'v': vals})
     df.loc[5, 'v'] = None
     ds = ray.data.from_pandas(df).repartition(5)
 
+    # Block emission order is not guaranteed under load — realign by id.
     out = winsorize_columns(ds, ['v'], lower_q=0.1, upper_q=0.9) \
-        .to_pandas()
+        .to_pandas().sort_values('id').reset_index(drop=True)
     clean = np.sort(df['v'].dropna().to_numpy())
     n = len(clean)
     lo = clean[max(int(np.ceil(n * 0.1)) - 1, 0)]
