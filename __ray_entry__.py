@@ -61,13 +61,17 @@ def q_stats_lineitem(sf_dir: str):
     ds = _read(sf_dir, 'lineitem', ['l_quantity', 'l_extendedprice'])
     s = column_stats(ds, ['l_quantity', 'l_extendedprice'],
                      quantiles=())
+
+    def r(v, nd):            # empty input: stats are None, like SQL NULL
+        return None if v is None else round(float(v), nd)
+
     return pd.DataFrame([{
         'n_rows': s['l_quantity']['count'],
         'n_null_qty': s['l_quantity']['nulls'],
-        'min_qty': round(float(s['l_quantity']['min']), 3),
-        'max_qty': round(float(s['l_quantity']['max']), 3),
-        'sum_qty': round(s['l_quantity']['sum'], 2),
-        'avg_price': round(s['l_extendedprice']['mean'], 4),
+        'min_qty': r(s['l_quantity']['min'], 3),
+        'max_qty': r(s['l_quantity']['max'], 3),
+        'sum_qty': r(s['l_quantity'].get('sum'), 2),
+        'avg_price': r(s['l_extendedprice'].get('mean'), 4),
     }])
 
 
@@ -265,7 +269,12 @@ def q_ann_multi_topk(sf_dir: str):
         import pyarrow.compute as pc
         return b.filter(pc.less(b.column('vec_id'), 3))
 
-    pdf = ds.map_batches(probes_only, batch_format='pyarrow')         .to_pandas().sort_values('vec_id')
+    pdf = ds.map_batches(probes_only, batch_format='pyarrow')         .to_pandas()
+    if pdf.empty:                      # empty corpus: no probes, no hits
+        return pd.DataFrame({'probe_id': pd.Series(dtype='int64'),
+                             'vec_id': pd.Series(dtype='int64'),
+                             'sim': pd.Series(dtype='float64')})
+    pdf = pdf.sort_values('vec_id')
     Q = np.stack(pdf['embedding'].to_numpy())
     df = topk_cosine(ds, 'vec_id', 'embedding', Q, k=5)
     probe_ids = pdf['vec_id'].to_numpy()
@@ -1067,9 +1076,9 @@ def q_quantiles_lineitem(sf_dir: str):
     ds = _read(sf_dir, 'lineitem', ['l_extendedprice'])
     rows = []
     for q in (0.5, 0.9, 0.99):
+        v = exact_quantile(ds, 'l_extendedprice', q)
         rows.append({'q': q,
-                     'value': round(exact_quantile(
-                         ds, 'l_extendedprice', q), 2)})
+                     'value': None if v is None else round(v, 2)})
     return pd.DataFrame(rows)
 
 
@@ -1195,8 +1204,11 @@ def q_vocabulary_documents(sf_dir: str):
 
     words = ds.map_batches(explode, batch_format='pandas')
     vocab = grouped_agg(words, ['word'], {'n': (None, 'count')})
-    top = vocab.to_pandas().sort_values(
-        ['n', 'word'], ascending=[False, True]).head(50)
+    vdf = vocab.to_pandas()
+    if vdf.empty:                      # empty corpus drops the schema
+        return pd.DataFrame({'word': pd.Series(dtype='object'),
+                             'n': pd.Series(dtype='int64')})
+    top = vdf.sort_values(['n', 'word'], ascending=[False, True]).head(50)
     return top.reset_index(drop=True)[['word', 'n']]
 
 

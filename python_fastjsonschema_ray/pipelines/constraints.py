@@ -103,7 +103,13 @@ def column_stats(ds, columns, quantiles=(0.5, 0.9, 0.99), concurrency=None,
         ColumnStatsStage(columns), batch_format='pyarrow',
         batch_size=batch_size,
         **({'concurrency': concurrency} if concurrency else {}))
-    merged = {}
+    # Seed every requested column so an empty input still yields a
+    # complete stats dict (count 0, min/max None) instead of a KeyError.
+    merged = {c: {
+        'count': 0, 'nulls': 0, 'min': None, 'max': None,
+        'sum': 0.0, 'has_sum': False,
+        'hll': HyperLogLog(), 'tdigest': TDigest(),
+    } for c in columns}
     for part in stage_ds.iter_batches(batch_size=1024,
                                       batch_format='pyarrow'):
         for row in part.to_pylist():
@@ -348,7 +354,9 @@ def check_referential(ds, column, ref_ds, ref_column, concurrency=None):
     import ray
 
     ref_keys = ref_ds.select_columns([ref_column]).unique(ref_column)
-    keys_ref = ray.put(pa.array(ref_keys))
+    # unique() reports None on a fully-empty reference; an empty key set
+    # means every non-null foreign key violates (SQL anti-join).
+    keys_ref = ray.put(pa.array(ref_keys if ref_keys is not None else []))
     return ds.map_batches(
         _AntiJoinStage, fn_constructor_args=(column, keys_ref),
         batch_format='pyarrow',
@@ -386,7 +394,7 @@ def check_referential_bloom(ds, column, ref_ds, ref_column,
     from ..state.sketches import BloomFilter
 
     keys = ref_ds.select_columns([ref_column]).unique(ref_column)
-    key_arr = pa.array(keys)
+    key_arr = pa.array(keys if keys is not None else [])  # empty reference
     bloom = BloomFilter(len(key_arr), bits_per_key)
     bloom.add_hashes(hash64_array(key_arr))
     fpr = bloom.fpr

@@ -361,6 +361,21 @@ class TableValidator:
             'valid', pa.array(result.valid, type=pa.bool_()))
 
 
+def _empty_violations_table() -> pa.Table:
+    """Zero-row table with the violations-mode output schema (matches
+    ``BatchValidator.violations_table`` column-for-column)."""
+    return pa.table({
+        'row': pa.array([], type=pa.int64()),
+        'key': pa.array([], type=pa.string()),
+        'name': pa.array([], type=pa.string()),
+        'message': pa.array([], type=pa.string()),
+        'rule': pa.array([], type=pa.string()),
+        'value': pa.array([], type=pa.string()),
+        'definition': pa.array([], type=pa.string()),
+        'rule_definition': pa.array([], type=pa.string()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Ray Data stages
 
@@ -428,7 +443,19 @@ def validate_dataset(ds, definition, *, mode='annotate', key_column=None,
 
     import ray.data  # noqa: F401  (ds is already a Dataset)
 
-    names, types = ds.schema().names, ds.schema().types
+    schema = ds.schema()
+    if schema is None:
+        # A fully-empty mapped dataset (zero rows survive the upstream
+        # stages) reports no schema at all — routine at scale when a
+        # shard's filter drops every row.  There is nothing to compile
+        # against and nothing to validate; return a correctly-typed
+        # empty result instead of crashing: violations mode has a fixed
+        # output schema, the annotating modes pass the empty input
+        # through unchanged.
+        if mode == 'violations':
+            return ray.data.from_arrow(_empty_violations_table())
+        return ds
+    names, types = schema.names, schema.types
     if all(isinstance(t, pa.DataType) for t in types):
         arrow_schema = pa.schema(
             [pa.field(n, t) for n, t in zip(names, types)])

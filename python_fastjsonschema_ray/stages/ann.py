@@ -84,6 +84,12 @@ def topk_cosine(ds, id_column, embedding_column, query, k=10,
         local_topk, **kwargs)
     # Partials are tiny (k rows per batch): merge on the driver.
     df = partials.to_pandas()
+    if df.empty:
+        # Empty corpus: a Ray empty->pandas conversion drops columns;
+        # rebuild the declared result schema.
+        return pd.DataFrame({'query': pd.Series(dtype='int64'),
+                             id_column: pd.Series(dtype='object'),
+                             'sim': pd.Series(dtype='float64')})
     out = []
     for qi, group in df.groupby('query'):
         top = group.sort_values(['sim', id_column],
@@ -133,9 +139,16 @@ def build_ivf(ds, embedding_column, nlist=64, sample_rows=10_000,
 
     if train not in ('sample', 'full'):
         raise ValueError("train must be 'sample' or 'full'")
+    n_rows = ds.count()
+    if n_rows == 0:
+        # Empty corpus: no centroids to train; probes match nothing.
+        return ds, np.zeros((0, 0), dtype=np.float64)
     sample = ds.select_columns([embedding_column]) \
-        .random_sample(min(1.0, sample_rows / max(ds.count(), 1)), seed=11) \
+        .random_sample(min(1.0, sample_rows / n_rows), seed=11) \
         .to_pandas()
+    if sample.empty:            # tiny corpus + sampling underflow
+        sample = ds.select_columns([embedding_column]) \
+            .limit(min(n_rows, sample_rows)).to_pandas()
     mat = np.stack(sample[embedding_column].to_numpy()).astype(np.float64)
     centroids = _kmeans(mat, min(nlist, len(mat)))
     if train == 'full':
@@ -154,6 +167,8 @@ def build_ivf(ds, embedding_column, nlist=64, sample_rows=10_000,
 
 
 def _probe_clusters(centroids, query, nprobe) -> list:
+    if len(centroids) == 0:
+        return []
     q = np.asarray(query, dtype=np.float64)
     qn = q / max(np.linalg.norm(q), 1e-12)
     order = np.argsort(-(_unit(centroids) @ qn))

@@ -106,8 +106,16 @@ def kmeans_fit(ds, embedding_column, k, *, iters=10, tol=1e-4, seed=11,
         centroids = np.asarray(init_centroids, dtype=np.float64).copy()
         k = len(centroids)
     else:
-        frac = min(1.0, init_sample_rows / max(narrow.count(), 1))
+        n_rows = narrow.count()
+        if n_rows == 0:
+            raise ValueError(
+                'k-means needs at least one row to fit, got an empty '
+                'dataset')
+        frac = min(1.0, init_sample_rows / n_rows)
         sample = narrow.random_sample(frac, seed=seed).to_pandas()
+        if sample.empty:        # tiny dataset + sampling underflow
+            sample = narrow.limit(min(n_rows, init_sample_rows)) \
+                .to_pandas()
         mat = np.stack(sample[embedding_column].to_numpy()) \
             .astype(np.float64)
         if normalize:
@@ -216,6 +224,18 @@ def cluster_balanced_sample(ds, id_column, embedding_column, k, n_per_cluster,
     block shuffle).  Returns ``(id, cluster)`` rows."""
     from .sample import stratified_sample_exact
 
+    schema = ds.schema()
+    if schema is None or ds.count() == 0:
+        # Empty corpus: an empty (id, cluster) sample, not a failed fit.
+        import ray.data
+        id_type = pa.string()
+        if schema is not None and id_column in schema.names:
+            t = schema.types[schema.names.index(id_column)]
+            if isinstance(t, pa.DataType):
+                id_type = t
+        return ray.data.from_arrow(pa.table({
+            id_column: pa.array([], type=id_type),
+            'cluster': pa.array([], type=pa.int64())}))
     cents, _ = kmeans_fit(ds, embedding_column, k, iters=iters, seed=seed)
     tagged = kmeans_assign(ds.select_columns([id_column, embedding_column]),
                            embedding_column, cents)

@@ -388,8 +388,9 @@ def _verify_candidate_pairs(ds, pairs_m, id_column, text_column, *,
             id_type = t.schema.field('id_a').type
             break
     if id_type is None:
-        schema_t = dict(zip(ds.schema().names, ds.schema().types)) \
-            .get(id_column)
+        _sch = ds.schema()
+        schema_t = (dict(zip(_sch.names, _sch.types)).get(id_column)
+                    if _sch is not None else None)
         if isinstance(schema_t, pa.DataType):
             id_type = schema_t
         else:
@@ -1009,7 +1010,11 @@ def embedding_duplicate_pairs(ds, id_column, embedding_column, dim, *,
     bucketed = ds.select_columns([id_column, embedding_column]).map_batches(
         HyperplaneLSHStage(embedding_column, dim, n_planes), **kwargs)
 
-    id_type = dict(zip(ds.schema().names, ds.schema().types))[id_column]
+    _schema = ds.schema()
+    id_type = (dict(zip(_schema.names, _schema.types)).get(id_column)
+               if _schema is not None else None)
+    if not isinstance(id_type, pa.DataType):
+        id_type = pa.string()  # fully-empty input: no pairs anyway
     empty = pa.table({'id_a': pa.nulls(0, id_type),
                       'id_b': pa.nulls(0, id_type),
                       'cosine': pa.nulls(0, pa.float64())})

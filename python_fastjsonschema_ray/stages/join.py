@@ -143,6 +143,24 @@ def shuffle_join(left, right, left_key, right_key, right_columns,
     right_columns = [c for c in right_columns if c != right_key]
 
     left_schema = left.schema()
+    if left_schema is None:
+        return left            # fully-empty left: nothing to join
+    right_schema_probe = right.schema()
+    if right_schema_probe is None:
+        # Fully-empty right side (no schema at all): inner yields
+        # nothing; left keeps every left row with null-typed padding
+        # for the requested right columns.
+        if how == 'inner':
+            return left.limit(0)
+        pad = [right_key] + right_columns
+
+        def pad_left(b: pa.Table) -> pa.Table:
+            for c in pad:
+                if c not in b.schema.names:
+                    b = b.append_column(c, pa.nulls(b.num_rows))
+            return b
+
+        return left.map_batches(pad_left, batch_format='pyarrow')
     left_names = list(left_schema.names)
     overlap = ({right_key} | set(right_columns)) & set(left_schema.names)
     if overlap:
@@ -255,6 +273,12 @@ def _shuffle_semi_anti(left, right, left_key, right_key, num_buckets, how):
 
     num_buckets = num_buckets or _default_buckets()
     left_schema = left.schema()
+    if left_schema is None:
+        return left            # fully-empty left: nothing to filter
+    if right.schema() is None:
+        # Empty right key set: EXISTS is false everywhere — semi drops
+        # every row, anti keeps every row (incl. null keys, per policy).
+        return left.limit(0) if how == 'semi' else left
     if any(t is None for t in left_schema.types):
         # pandas-block datasets report extension dtypes as None; route
         # through an Arrow conversion so the pad types are real.
@@ -338,6 +362,21 @@ def broadcast_interval_join(ds, point_column, intervals, start_column,
     interval_columns = list(interval_columns)
 
     ds_schema = ds.schema()
+    if ds_schema is None:
+        return ds              # fully-empty point side: nothing to join
+    if intervals.schema() is None:
+        # Fully-empty interval side: inner yields nothing; left keeps
+        # every point row with null-typed interval padding.
+        if how == 'inner':
+            return ds.limit(0)
+
+        def pad_points(b: pa.Table) -> pa.Table:
+            for c in interval_columns:
+                if c not in b.schema.names:
+                    b = b.append_column(c, pa.nulls(b.num_rows))
+            return b
+
+        return ds.map_batches(pad_points, batch_format='pyarrow')
     left_names = list(ds_schema.names)
     overlap = set(interval_columns) & set(left_names)
     if overlap:
@@ -460,6 +499,21 @@ def asof_join(left, right, left_on, right_on, left_by, right_by,
     tiebreak = list(tiebreak if tiebreak is not None else right_columns)
 
     left_schema = left.schema()
+    if left_schema is None:
+        return left            # fully-empty left: nothing to join
+    if right.schema() is None:
+        # Fully-empty right side: inner yields nothing; left keeps every
+        # left row with null-typed padding for the requested columns.
+        if how == 'inner':
+            return left.limit(0)
+
+        def pad_left(b: pa.Table) -> pa.Table:
+            for c in right_columns:
+                if c not in b.schema.names:
+                    b = b.append_column(c, pa.nulls(b.num_rows))
+            return b
+
+        return left.map_batches(pad_left, batch_format='pyarrow')
     left_names = list(left_schema.names)
     overlap = set(right_columns) & set(left_names)
     if overlap:

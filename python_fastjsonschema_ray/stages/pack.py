@@ -43,11 +43,20 @@ def packing_plan(ds, id_column, token_column, max_tokens):
     sorted_ds = ds.select_columns([id_column, token_column]) \
         .sort(id_column).materialize()
     refs = sorted_ds.to_arrow_refs()
+    in_schema = sorted_ds.schema()
+    id_type = pa.string()
+    if in_schema is not None and id_column in in_schema.names:
+        t = in_schema.types[in_schema.names.index(id_column)]
+        if isinstance(t, pa.DataType):
+            id_type = t
 
     @ray.remote
     def block_sum(t) -> int:
         if not isinstance(t, pa.Table):
             t = pa.Table.from_pandas(t)
+        # Materialized empty blocks can be schemaless (zero columns).
+        if t.num_rows == 0 or token_column not in t.schema.names:
+            return 0
         vals = np.asarray(t.column(token_column).combine_chunks()
                           .fill_null(0), dtype=np.int64)
         return int(vals.sum())
@@ -60,6 +69,13 @@ def packing_plan(ds, id_column, token_column, max_tokens):
     def plan_block(t, prefix: int):
         if not isinstance(t, pa.Table):
             t = pa.Table.from_pandas(t)
+        if t.num_rows == 0 or token_column not in t.schema.names:
+            return pa.table({
+                'id': pa.array([], type=id_type),
+                'seq_first': pa.array([], type=pa.int64()),
+                'seq_offset': pa.array([], type=pa.int64()),
+                'seq_last': pa.array([], type=pa.int64()),
+            })
         n = np.asarray(t.column(token_column).combine_chunks()
                        .fill_null(0), dtype=np.int64)
         start = np.zeros(len(n), dtype=np.int64)

@@ -240,6 +240,8 @@ def grouped_quantile(ds, keys, value_column, qs, *, num_buckets=None,
     num_buckets = num_buckets or _default_buckets()
 
     ds_schema = ds.schema()
+    if ds_schema is None:
+        return ds              # fully-empty input: no groups, no rows
     ds_types = dict(zip(ds_schema.names, ds_schema.types))
     out_schema = pa.schema(
         [pa.field(k, ds_types[k]) for k in keys] +

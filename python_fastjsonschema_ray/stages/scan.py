@@ -73,6 +73,8 @@ def grouped_scan(ds, keys, order_by, value_column,
 
     in_cols = keys + order_by + [value_column]
     ds_schema = ds.schema()
+    if ds_schema is None:
+        return ds              # fully-empty input: nothing to scan
     ds_types = dict(zip(ds_schema.names, ds_schema.types))
     op_fields = [pa.field(op, pa.int64() if op == 'row_number'
                           else pa.float64()) for op in ops]
