@@ -519,7 +519,8 @@ def q_b64_documents(sf_dir: str):
 
     def build(batch: pd.DataFrame) -> pd.DataFrame:
         enc = batch['text'].str.slice(0, 16).apply(
-            lambda t: b64mod.b64encode(t.encode()).decode())
+            lambda t: None if t is None or (isinstance(t, float))
+            else b64mod.b64encode(t.encode()).decode())
         enc = enc.mask(batch['doc_id'] % 7 == 0, 'xxxxx')
         return pa.table({'doc_id': pa.array(batch['doc_id'], type=pa.int64()),
                          'b64': pa.array(enc, type=pa.string())})
@@ -543,7 +544,10 @@ def _events_typemap(batch: pa.Table) -> pa.Table:
     """Derived map<string,double> column {event_type: value}."""
     et = batch.column('event_type').to_pylist()
     vals = batch.column('value').to_pylist()
-    m = pa.array([[(t, v)] for t, v in zip(et, vals)],
+    # Map keys must be non-null in Arrow: a null event_type yields an
+    # EMPTY map for that row (the SQL skip-null-entry convention).
+    m = pa.array([[(t, v)] if t is not None else []
+                  for t, v in zip(et, vals)],
                  type=pa.map_(pa.string(), pa.float64()))
     return pa.table({'event_id': batch.column('event_id'), 'm': m})
 
@@ -1402,15 +1406,22 @@ def q_redact_documents(sf_dir: str):
     from python_fastjsonschema_ray.stages.clean import redact_text
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
 
-    def augment(b: pd.DataFrame) -> pd.DataFrame:
-        m = b['doc_id'] % 3 == 0
-        ids = b.loc[m, 'doc_id'].astype(str)
-        b.loc[m, 'text'] = (b.loc[m, 'text'] + ' contact user' + ids +
-                            '@example.com via http://site' + ids +
-                            '.example/page or 10.1.2.3')
-        return b
+    def augment(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        # Arrow end-to-end: null text stays null (an all-NaN pandas
+        # column would become float64 and break the regex kernels).
+        keys = np.asarray(b.column('doc_id').combine_chunks()
+                          .fill_null(-1), dtype=np.int64)
+        m = pa.array(keys % 3 == 0)
+        ids = pc.cast(b.column('doc_id').combine_chunks(), pa.string())
+        with_pii = pc.binary_join_element_wise(
+            b.column('text').combine_chunks(), ' contact user', ids,
+            '@example.com via http://site', ids,
+            '.example/page or 10.1.2.3', '')
+        t = pc.if_else(m, with_pii, b.column('text').combine_chunks())
+        return b.set_column(b.column_names.index('text'), 'text', t)
 
-    out = redact_text(ds.map_batches(augment, batch_format='pandas'),
+    out = redact_text(ds.map_batches(augment, batch_format='pyarrow'),
                       'text')
     return _df_with_columns(out, ['doc_id', 'text'])
 
@@ -1424,11 +1435,17 @@ def q_normalize_documents(sf_dir: str):
     from python_fastjsonschema_ray.stages.clean import normalize_text
     ds = _read(sf_dir, 'documents', ['doc_id', 'text'])
 
-    def mess(b: pd.DataFrame) -> pd.DataFrame:
-        b['text'] = '  ' + b['text'].str.upper() + '\t\t MiXeD  CASE '
-        return b
+    def mess(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        # Arrow element-wise join: null text stays null (an all-NaN
+        # pandas column would silently become float64 and break the
+        # downstream string kernels).
+        t = pc.binary_join_element_wise(
+            '  ', pc.utf8_upper(b.column('text').combine_chunks()),
+            '\t\t MiXeD  CASE ', '')
+        return b.set_column(b.column_names.index('text'), 'text', t)
 
-    out = normalize_text(ds.map_batches(mess, batch_format='pandas'),
+    out = normalize_text(ds.map_batches(mess, batch_format='pyarrow'),
                          'text')
     return _df_with_columns(out, ['doc_id', 'text'])
 

@@ -40,6 +40,18 @@ def pylist_json(arr) -> list:
     return values
 
 
+def drop_null_embeddings(batch: pa.Table, column: str) -> pa.Table:
+    """Filter out rows whose embedding is null.  The embedding
+    operators (ANN, k-means, PCA, LSH dedup) SKIP null embeddings —
+    the SQL-aggregate convention; at web scale null payloads are
+    routine and must not crash or misalign a kernel."""
+    col = batch.column(column)
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if arr.null_count:
+        batch = batch.filter(arr.is_valid())
+    return batch
+
+
 def embedding_matrix(column) -> np.ndarray:
     """(n, dim) float64 matrix from a list<float> / fixed-size-list /
     Ray-tensor-extension column."""
@@ -63,6 +75,13 @@ def embedding_matrix(column) -> np.ndarray:
         flat = np.asarray(child, dtype=np.float64)
         return flat.reshape(len(arr), dim)
     if pa.types.is_list(t) or pa.types.is_large_list(t):
+        if arr.null_count:
+            # flatten() drops null rows' values, silently MISALIGNING
+            # every row after the first null — refuse loudly; callers
+            # filter nulls first (drop_null_embeddings).
+            raise ValueError(
+                'embedding column contains null rows; filter them '
+                'before building the matrix (drop_null_embeddings)')
         flat = np.asarray(arr.flatten(), dtype=np.float64)
         return flat.reshape(len(arr), -1)
     return np.stack([np.asarray(v, dtype=np.float64)

@@ -413,23 +413,55 @@ def check_referential_large(ds, column, ref_ds, ref_column, num_buckets=64):
     per-group memory; raise it for bigger tables."""
     import pandas as pd
 
+    left_schema = ds.schema()
+    if left_schema is None:
+        return ds               # fully-empty left: no violations
+    left_names = list(left_schema.names)
+    left_types = dict(zip(left_schema.names, left_schema.types))
+    # Both union sides must carry the SAME columns or a single-sided
+    # bucket group (skewed key ranges, small tables) sees a partial
+    # schema and the per-group lookup crashes.
+    union_names = list(dict.fromkeys(left_names + [ref_column])) \
+        + ['_bucket']
+    ref_schema = ref_ds.schema()
+    if ref_schema is None:
+        # Fully-empty reference: every non-null FK violates; reuse the
+        # broadcast path's stage with an empty key set.
+        import ray
+        keys_ref = ray.put(pa.array([]))
+        return ds.map_batches(
+            _AntiJoinStage, fn_constructor_args=(column, keys_ref),
+            batch_format='pyarrow', concurrency=_half_cpus())
+    ref_types = dict(zip(ref_schema.names, ref_schema.types))
+    pad_types = dict(left_types)
+    pad_types.setdefault(ref_column, ref_types[ref_column])
+
     def add_bucket(batch: pa.Table, col) -> pa.Table:
         h = hash64_array(batch.column(col).combine_chunks())
         return batch.append_column(
             '_bucket', pa.array((h % np.uint64(num_buckets)).astype(np.int64)))
 
-    left = ds.map_batches(lambda b: add_bucket(b, column),
-                          batch_format='pyarrow')
-    right = ref_ds.select_columns([ref_column]).map_batches(
-        lambda b: add_bucket(b, ref_column), batch_format='pyarrow')
+    def tag_left(b: pa.Table) -> pa.Table:
+        if ref_column not in b.schema.names:
+            b = b.append_column(
+                ref_column, pa.nulls(b.num_rows, type=pad_types[ref_column]))
+        return b.select(union_names).append_column(
+            '_side', pa.array(['L'] * b.num_rows))
 
-    # Tag sides, union, and co-group by bucket: one shuffle total.
-    left = left.map_batches(
-        lambda b: b.append_column('_side', pa.array(['L'] * b.num_rows)),
-        batch_format='pyarrow')
-    right = right.map_batches(
-        lambda b: b.append_column('_side', pa.array(['R'] * b.num_rows)),
-        batch_format='pyarrow')
+    def tag_right(b: pa.Table) -> pa.Table:
+        for c in left_names:
+            if c not in b.schema.names:
+                b = b.append_column(
+                    c, pa.nulls(b.num_rows, type=pad_types[c]))
+        return b.select(union_names).append_column(
+            '_side', pa.array(['R'] * b.num_rows))
+
+    left = ds.map_batches(lambda b: add_bucket(b, column),
+                          batch_format='pyarrow').map_batches(
+        tag_left, batch_format='pyarrow')
+    right = ref_ds.select_columns([ref_column]).map_batches(
+        lambda b: add_bucket(b, ref_column), batch_format='pyarrow') \
+        .map_batches(tag_right, batch_format='pyarrow')
 
     def anti(group: pd.DataFrame) -> pd.DataFrame:
         right_keys = set(group.loc[group['_side'] == 'R', ref_column])
@@ -464,9 +496,17 @@ def salted_group_agg(ds, key_columns, value_column, num_salts=16,
     key_columns = list(key_columns)
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        salt = np.arange(batch.num_rows, dtype=np.int64) % num_salts
-        sub = batch.select(key_columns + [value_column]) \
-            .append_column('_salt', pa.array(salt))
+        sub = batch.select(key_columns + [value_column])
+        # Null keys break Ray's sort-based groupby partitioning and are
+        # dropped, matching the engine-wide grouped-aggregate policy.
+        mask = None
+        for c in key_columns:
+            valid = sub.column(c).is_valid()
+            mask = valid if mask is None else pc.and_(mask, valid)
+        if mask is not None:
+            sub = sub.filter(mask)
+        salt = np.arange(sub.num_rows, dtype=np.int64) % num_salts
+        sub = sub.append_column('_salt', pa.array(salt))
         grouped = sub.group_by(key_columns + ['_salt']).aggregate(
             [(value_column, 'sum'), (value_column, 'count')])
         return grouped.rename_columns(

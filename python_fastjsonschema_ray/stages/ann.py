@@ -24,6 +24,11 @@ def _as_matrix(batch: pa.Table, embedding_column: str) -> np.ndarray:
     return embedding_matrix(batch.column(embedding_column))
 
 
+def _drop_nulls(batch: pa.Table, embedding_column: str) -> pa.Table:
+    from ..functions.arrowutil import drop_null_embeddings
+    return drop_null_embeddings(batch, embedding_column)
+
+
 def _unit(m: np.ndarray) -> np.ndarray:
     norms = np.linalg.norm(m, axis=1)
     norms[norms == 0] = 1.0
@@ -58,6 +63,13 @@ def topk_cosine(ds, id_column, embedding_column, query, k=10,
     query_ref = ray.put(np.asarray(query, dtype=np.float64))
 
     def local_topk(batch: pa.Table) -> pa.Table:
+        batch = _drop_nulls(batch, embedding_column)
+        if batch.num_rows == 0:
+            return pa.table({
+                'query': pa.array([], type=pa.int64()),
+                id_column: pa.array([], type=batch.column(id_column).type),
+                'sim': pa.array([], type=pa.float64()),
+            })
         qmat = _unit_query_from_ref(query_ref)
         emb = _unit(_as_matrix(batch, embedding_column))
         sims = emb @ qmat.T                  # (n, n_queries)
@@ -116,6 +128,10 @@ def _kmeans(sample: np.ndarray, nlist: int, iters: int = 12, seed: int = 3):
 
 def _assign_clusters(batch: pa.Table, embedding_column,
                      centroids_ref) -> pa.Table:
+    batch = _drop_nulls(batch, embedding_column)
+    if batch.num_rows == 0:
+        return batch.append_column('ivf_cluster',
+                                   pa.array([], type=pa.int64()))
     centroids = _unit_query_from_ref(centroids_ref)
     emb = _unit(_as_matrix(batch, embedding_column))
     assign = np.argmax(emb @ centroids.T, axis=1)
@@ -139,17 +155,32 @@ def build_ivf(ds, embedding_column, nlist=64, sample_rows=10_000,
 
     if train not in ('sample', 'full'):
         raise ValueError("train must be 'sample' or 'full'")
+    def _tag_unclustered(b: pa.Table) -> pa.Table:
+        # No centroids (empty / all-null corpus): drop null embeddings
+        # and tag the rest -1 so downstream probe filters match nothing
+        # but the ivf_cluster column always exists.
+        b = _drop_nulls(b, embedding_column)
+        return b.append_column(
+            'ivf_cluster', pa.array(np.full(b.num_rows, -1), type=pa.int64()))
+
     n_rows = ds.count()
     if n_rows == 0:
         # Empty corpus: no centroids to train; probes match nothing.
-        return ds, np.zeros((0, 0), dtype=np.float64)
+        return (ds.map_batches(_tag_unclustered, batch_format='pyarrow'),
+                np.zeros((0, 0), dtype=np.float64))
     sample = ds.select_columns([embedding_column]) \
         .random_sample(min(1.0, sample_rows / n_rows), seed=11) \
         .to_pandas()
     if sample.empty:            # tiny corpus + sampling underflow
         sample = ds.select_columns([embedding_column]) \
             .limit(min(n_rows, sample_rows)).to_pandas()
+    sample = sample.dropna(subset=[embedding_column])
+    if sample.empty:            # every sampled embedding is null
+        return (ds.map_batches(_tag_unclustered, batch_format='pyarrow'),
+                np.zeros((0, 0), dtype=np.float64))
     mat = np.stack(sample[embedding_column].to_numpy()).astype(np.float64)
+    # Stable centroid training regardless of block emission order.
+    mat = mat[np.lexsort(mat.T[::-1])]
     centroids = _kmeans(mat, min(nlist, len(mat)))
     if train == 'full':
         from .cluster import kmeans_fit

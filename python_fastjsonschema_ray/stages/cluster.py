@@ -35,8 +35,18 @@ def _matrix(batch: pa.Table, column: str) -> np.ndarray:
     arr = batch.column(column)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if arr.null_count:
+        # flatten() drops null rows' values, silently misaligning every
+        # row after the first null — callers drop nulls first.
+        raise ValueError(
+            'embedding column contains null rows; filter them first')
     return np.asarray(arr.flatten(), dtype=np.float64).reshape(
         len(arr), -1)
+
+
+def _drop_nulls(batch: pa.Table, column: str) -> pa.Table:
+    from ..functions.arrowutil import drop_null_embeddings
+    return drop_null_embeddings(batch, column)
 
 
 def _normalize_rows(m: np.ndarray) -> np.ndarray:
@@ -116,8 +126,17 @@ def kmeans_fit(ds, embedding_column, k, *, iters=10, tol=1e-4, seed=11,
         if sample.empty:        # tiny dataset + sampling underflow
             sample = narrow.limit(min(n_rows, init_sample_rows)) \
                 .to_pandas()
+        sample = sample.dropna(subset=[embedding_column])
+        if sample.empty:
+            raise ValueError(
+                'k-means needs at least one row to fit, got only null '
+                'embeddings')
         mat = np.stack(sample[embedding_column].to_numpy()) \
             .astype(np.float64)
+        # Block emission order is not deterministic under load; sort the
+        # init sample lexicographically so seeding (and therefore the
+        # fitted centroids) is stable across runs and cluster layouts.
+        mat = mat[np.lexsort(mat.T[::-1])]
         if normalize:
             mat = _normalize_rows(mat)
         centroids = _kmeans_pp_init(mat, k, seed)
@@ -132,6 +151,13 @@ def kmeans_fit(ds, embedding_column, k, *, iters=10, tol=1e-4, seed=11,
         ref = ray.put(centroids)
 
         def partial(batch: pa.Table, ref=ref) -> pa.Table:
+            batch = _drop_nulls(batch, embedding_column)
+            if batch.num_rows == 0:
+                return pa.table({
+                    'count': pa.array([[0] * k]),
+                    'sums': pa.array([[0.0] * (k * dim)]),
+                    'inertia': pa.array([0.0]),
+                })
             cents = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
             mat = _matrix(batch, embedding_column)
             if normalize:
@@ -175,6 +201,10 @@ def kmeans_assign(ds, embedding_column, centroids, *,
     ref = ray.put(cents)
 
     def tag(batch: pa.Table) -> pa.Table:
+        batch = _drop_nulls(batch, embedding_column)
+        if batch.num_rows == 0:
+            return batch.append_column(out_column,
+                                       pa.array([], type=pa.int64()))
         c = ray.get(ref)
         mat = _matrix(batch, embedding_column)
         if normalize:
@@ -225,8 +255,17 @@ def cluster_balanced_sample(ds, id_column, embedding_column, k, n_per_cluster,
     from .sample import stratified_sample_exact
 
     schema = ds.schema()
-    if schema is None or ds.count() == 0:
-        # Empty corpus: an empty (id, cluster) sample, not a failed fit.
+    if schema is not None:
+        # Null embeddings are skipped corpus-wide (the embedding-
+        # operator convention).
+        ds = ds.map_batches(lambda b: _drop_nulls(b, embedding_column),
+                            batch_format='pyarrow')
+    try:
+        cents, _ = kmeans_fit(ds, embedding_column, k, iters=iters,
+                              seed=seed)
+    except ValueError:
+        # Empty / all-null corpus (kmeans_fit's clean zero-row error):
+        # an empty (id, cluster) sample, not a failure.
         import ray.data
         id_type = pa.string()
         if schema is not None and id_column in schema.names:
@@ -236,7 +275,6 @@ def cluster_balanced_sample(ds, id_column, embedding_column, k, n_per_cluster,
         return ray.data.from_arrow(pa.table({
             id_column: pa.array([], type=id_type),
             'cluster': pa.array([], type=pa.int64())}))
-    cents, _ = kmeans_fit(ds, embedding_column, k, iters=iters, seed=seed)
     tagged = kmeans_assign(ds.select_columns([id_column, embedding_column]),
                            embedding_column, cents)
     picked = stratified_sample_exact(

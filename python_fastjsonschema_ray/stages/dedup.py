@@ -958,7 +958,12 @@ class HyperplaneLSHStage:
         self.weights = (1 << np.arange(n_planes)).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..functions.arrowutil import embedding_matrix
+        from ..functions.arrowutil import (drop_null_embeddings,
+                                           embedding_matrix)
+        batch = drop_null_embeddings(batch, self.embedding_column)
+        if batch.num_rows == 0:
+            return batch.append_column('bucket',
+                                       pa.array([], type=pa.int64()))
         emb = embedding_matrix(batch.column(self.embedding_column))
         signs = (emb @ self.planes) > 0
         bucket = (signs * self.weights).sum(axis=1)

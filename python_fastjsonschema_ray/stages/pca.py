@@ -22,7 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .cluster import _matrix
+from .cluster import _drop_nulls, _matrix
 
 
 def _flip_signs(components: np.ndarray) -> np.ndarray:
@@ -40,6 +40,13 @@ def pca_fit(ds, embedding_column, n_components):
     import ray
 
     def partial(batch: pa.Table) -> pa.Table:
+        batch = _drop_nulls(batch, embedding_column)
+        if batch.num_rows == 0:
+            return pa.table({
+                'n': pa.array([0], pa.int64()),
+                'sum': pa.array([[]], pa.list_(pa.float64())),
+                'outer': pa.array([[]], pa.list_(pa.float64())),
+            })
         mat = _matrix(batch, embedding_column)
         return pa.table({
             'n': pa.array([len(mat)], pa.int64()),
@@ -54,7 +61,10 @@ def pca_fit(ds, embedding_column, n_components):
         if not isinstance(t, pa.Table):
             t = pa.Table.from_pandas(t)
         for row in range(t.num_rows):
-            n += int(t.column('n')[row].as_py())
+            rn = int(t.column('n')[row].as_py())
+            if rn == 0:         # empty / all-null block partial
+                continue
+            n += rn
             ps = np.asarray(t.column('sum')[row].as_py(), dtype=np.float64)
             po = np.asarray(t.column('outer')[row].as_py(),
                             dtype=np.float64)
@@ -89,6 +99,10 @@ def pca_transform(ds, embedding_column, components, mean, *,
 
     def project(batch: pa.Table) -> pa.Table:
         comp, mu = ray.get(ref)
+        batch = _drop_nulls(batch, embedding_column)
+        if batch.num_rows == 0:
+            return batch.append_column(out_column, pa.array(
+                [], type=pa.list_(pa.float64(), comp.shape[0])))
         mat = _matrix(batch, embedding_column)
         proj = (mat - mu) @ comp.T
         return batch.append_column(out_column, pa.array(

@@ -122,7 +122,10 @@ def winsorize_columns(ds, columns, *, lower_q=0.05, upper_q=0.95,
             lo, hi = bd[c]
             v = np.asarray(batch.column(c).cast(pa.float64())
                            .fill_null(np.nan), dtype=np.float64)
-            w = np.clip(v, lo, hi)          # NaN propagates -> null
+            # All-null column: no quantiles, hence no clipping — the
+            # values (all null) pass through unchanged.
+            w = v if lo is None and hi is None \
+                else np.clip(v, lo, hi)     # NaN propagates -> null
             batch = batch.append_column(
                 c + suffix, pa.array(w, type=pa.float64(),
                                      from_pandas=True))

@@ -1,16 +1,18 @@
-"""Empty-input robustness sweep: every driver query over zero-row
-tables.
+"""Degenerate-input robustness sweeps: every driver query over (a)
+zero-row tables and (b) tables whose payload columns are ALL NULL.
 
-At 100 TB scale, shards whose filters drop every row — or entirely
-empty partitions — are routine, so every operator must tolerate a
-fully-empty input: return an empty (or degenerate-aggregate) result,
-never crash with a KeyError / AttributeError deep in a stage.  The
-sweep builds schema-identical zero-row versions of all ten contract
-tables and runs the complete ``queries()`` surface against them.
+At 100 TB scale both are routine — shards whose filters drop every
+row, and shards where the text / embedding / payload column is null —
+so every operator must tolerate them: return an empty (or
+degenerate-aggregate) result, never crash with a KeyError /
+AttributeError deep in a stage, and NEVER silently misalign (a
+partially-null embedding column through ``flatten().reshape`` would
+pair row i's id with row j's vector — the helpers now refuse nulls
+and the operators filter them first).
 
 Two estimator fits are the documented exceptions: fitting k-means or
-PCA on zero rows is a genuine user error, and they raise a CLEAN,
-message-bearing ValueError instead of an internal crash.
+PCA on zero (non-null) rows is a genuine user error, and they raise a
+CLEAN, message-bearing ValueError instead of an internal crash.
 """
 
 import os
@@ -22,6 +24,16 @@ import pytest
 SRC = '/root/testdata/sf0.001'
 TABLES = ('region', 'nation', 'customer', 'supplier', 'part', 'orders',
           'lineitem', 'events', 'documents', 'embeddings')
+
+# Key / timestamp columns stay populated in the all-null-payload
+# fixture (a corpus with null ids is not a recoverable input; null
+# payloads are).
+KEY_COLUMNS = {
+    'doc_id', 'vec_id', 'event_id', 'user_id', 'ts', 'c_custkey',
+    'o_orderkey', 'o_custkey', 'o_orderdate', 'l_orderkey', 'l_partkey',
+    'l_suppkey', 'l_linenumber', 'l_shipdate', 'n_nationkey',
+    'n_regionkey', 'r_regionkey', 'p_partkey', 's_suppkey', 's_nationkey',
+}
 
 # Queries whose semantics REQUIRE rows (estimator fits): they must
 # raise a clean ValueError whose message names the constraint.
@@ -42,13 +54,25 @@ def empty_sf(tmp_path_factory):
     return str(root)
 
 
-def test_every_query_tolerates_empty_tables(ray_session, empty_sf):
-    import __ray_entry__ as mod
+@pytest.fixture(scope='module')
+def null_payload_sf(tmp_path_factory):
+    root = tmp_path_factory.mktemp('sf_null')
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(SRC, t + '.parquet')).slice(0, 50)
+        cols = [tab.column(f.name) if f.name in KEY_COLUMNS
+                else pa.nulls(tab.num_rows, type=f.type)
+                for f in tab.schema]
+        out = pa.table(dict(zip(tab.schema.names, cols))) \
+            .replace_schema_metadata(None)
+        pq.write_table(out, str(root / (t + '.parquet')))
+    return str(root)
 
+
+def _sweep(mod, sf_dir):
     failures = []
     for name, fn in sorted(mod.queries().items()):
         try:
-            result = fn(empty_sf)
+            result = fn(sf_dir)
             # Materializing proves the lazy plan executes end-to-end.
             # Row counts are NOT policed: aggregates legitimately emit
             # degenerate all-null rows, schema inference emits one row
@@ -67,3 +91,13 @@ def test_every_query_tolerates_empty_tables(ray_session, empty_sf):
         except Exception as exc:  # noqa: BLE001 — report every crash
             failures.append((name, type(exc).__name__, str(exc)[:200]))
     assert not failures, '\n'.join(repr(f) for f in failures)
+
+
+def test_every_query_tolerates_empty_tables(ray_session, empty_sf):
+    import __ray_entry__ as mod
+    _sweep(mod, empty_sf)
+
+
+def test_every_query_tolerates_null_payloads(ray_session, null_payload_sf):
+    import __ray_entry__ as mod
+    _sweep(mod, null_payload_sf)
