@@ -451,3 +451,53 @@ def test_hamming_pairs_tiled_matches_bruteforce():
         d = _popcount64((hh[ii] ^ hh[jj]).view(np.uint64))
     ok = d <= 4
     assert sorted(zip(gi, gj, dist)) == sorted(zip(ii[ok], jj[ok], d[ok]))
+
+
+def test_partial_null_embeddings_skip_without_misalignment(ray_session,
+                                                           embeddings):
+    """Interleaved null embeddings are SKIPPED — and, critically, the
+    surviving (id, vector) pairing stays intact: a naive
+    flatten().reshape of a partially-null list column pairs row i's id
+    with row j's vector.  top-k over the nulled dataset must equal
+    numpy top-k over only the non-null rows, ids included."""
+    import pyarrow as pa
+    import ray.data
+    from python_fastjsonschema_ray.stages.ann import topk_cosine
+    from python_fastjsonschema_ray.stages.cluster import (
+        kmeans_assign, kmeans_fit)
+
+    df = embeddings.to_pandas().head(200).copy()
+    # Null out every third embedding (ids keep counting through them).
+    nulled = df['embedding'].to_numpy().copy()
+    nulled[::3] = None
+    t = pa.table({
+        'vec_id': pa.array(df['vec_id'], type=pa.int64()),
+        'embedding': pa.array(
+            [None if v is None else list(map(float, v)) for v in nulled],
+            type=pa.list_(pa.float32())),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+
+    keep = df[[v is not None for v in nulled]]
+    mat = np.stack(keep['embedding'].to_numpy()).astype(np.float64)
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal(64)
+    unit = mat / np.linalg.norm(mat, axis=1)[:, None]
+    sims = unit @ (q / np.linalg.norm(q))
+    expected = keep['vec_id'].to_numpy()[np.argsort(-sims)][:10].tolist()
+
+    got = topk_cosine(ds, 'vec_id', 'embedding', q, k=10)
+    assert got['vec_id'].tolist() == expected
+
+    # k-means fit + assign over the same nulled dataset: exactly the
+    # non-null rows come back, tagged with their nearest centroid.
+    cents, _ = kmeans_fit(ds, 'embedding', 4, iters=4, seed=3)
+    tagged = kmeans_assign(ds, 'embedding', cents).to_pandas()
+    assert sorted(tagged['vec_id']) == sorted(keep['vec_id'])
+    m = np.stack(
+        tagged.sort_values('vec_id')['embedding'].to_numpy()
+    ).astype(np.float64)
+    d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    exp_assign = np.argmin(d2, axis=1)
+    got_assign = tagged.sort_values('vec_id')['cluster'].to_numpy()
+    assert (got_assign == exp_assign).all()
