@@ -139,3 +139,38 @@ def test_divergence_list_covers_every_xfailed_file():
     covered = {c[0].split('-')[0] for c in CASES}
     assert {'ecma', 'float', 'datetime', 'date', 'time', 'idn',
             'iri', 'unknown', 'draft4', 'draft7'} <= covered
+
+
+def test_post_decode_type_tracking_artifact_documented(reference):
+    """DOCUMENTED NON-MIMICRY (the one known behavioral gap, alongside
+    the unported codegen line-emitter).
+
+    The reference's CodeGenerator tracks "the variable is known to be a
+    str" across sibling allOf branches
+    (/root/reference/fastjsonschema/generator.py: the isinstance guard
+    is skipped once a prior branch's `type: string` check passed), while
+    `contentEncoding: base64` REBINDS the variable to the decoded bytes
+    — so a later branch's maxLength applies len() to the DECODED BYTES
+    ("characters" counted on bytes, a codegen artifact).  The engine's
+    closure compiler re-gates every string keyword on isinstance(str),
+    so the decoded bytes skip the later branch's length check.
+
+    Pin both behaviors so any movement on either side is caught."""
+    schema = {'$schema': 'http://json-schema.org/draft-07/schema',
+              'allOf': [{'type': 'string', 'contentEncoding': 'base64'},
+                        {'maxLength': 8}]}
+    data = 'aGVsbG8gd29ybGQ='          # decodes to b'hello world' (11)
+
+    ref_v = reference.compile(dict(schema))
+    try:
+        ref_v(data)
+        ref_outcome = 'ok'
+    except reference.JsonSchemaValueException as exc:
+        ref_outcome = ('fail', exc.rule)
+    assert ref_outcome == ('fail', 'maxLength'), (
+        'reference moved: post-decode bytes no longer hit maxLength')
+
+    import python_fastjsonschema_ray as engine
+    eng_v = engine.compile(dict(schema))
+    out = eng_v(data)                  # engine: decoded, length re-gated
+    assert out == b'hello world'
