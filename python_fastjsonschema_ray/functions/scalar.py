@@ -575,6 +575,20 @@ class ScalarCompiler:
         def check(cell, name, errors, local):
             v = cell[0]
             if isinstance(v, (int, float, Decimal)):
+                # Non-finite values: the reference crashes with a raw
+                # ValueError/OverflowError at int(quotient)
+                # (draft04.py:361-364 run on nan/inf) — a crash, not a
+                # verdict.  The engine reports a clean violation instead
+                # (NaN/inf is never an exact multiple), plus the
+                # reference's own 'inifinity reached' site when the
+                # quotient overflows.  Documented divergence
+                # (tests/test_reference_divergences.py).
+                if isinstance(v, float) and (v != v or v == float('inf')
+                                             or v == float('-inf')):
+                    emit(name + message_tail, cell, name, errors)
+                    if v / mo_runtime == float('inf'):
+                        emit('inifinity reached', cell, name, errors)
+                    return
                 # Decimal-exact check for float divisors: 19.01 / 0.01 must
                 # be an exact 1901 (draft04.py:361-364).
                 if use_decimal:

@@ -1520,16 +1520,27 @@ class VectorCompiler:
             definition, 'multipleOf', inf_fails,
             message_fn=lambda view, idx: ['inifinity reached'] * len(idx))
 
+        def _nonfinite(v):
+            # Reference crashes (ValueError/OverflowError) at
+            # int(quotient) on nan/inf; engine reports a clean violation
+            # instead (documented divergence, scalar path agrees).
+            return isinstance(v, float) and (
+                v != v or v == float('inf') or v == float('-inf'))
+
         if use_decimal:
             # Decimal-exact per-row check (draft04.py:357-371): 19.01/0.01
             # must be exactly 1901; no float kernel can guarantee that.
             def fails(v):
+                if _nonfinite(v):
+                    return True
                 quotient = Decimal(repr(v)) / Decimal(repr(mo_rt))
                 return int(quotient) != quotient
             return [self._row_kernel(definition, 'multipleOf', fails, tail),
                     inf_rule]
 
         def fails(v):
+            if _nonfinite(v):
+                return True
             quotient = v / mo_rt
             return int(quotient) != quotient
         return [self._row_kernel(definition, 'multipleOf', fails, tail),

@@ -47,6 +47,10 @@ def _count_min_max(ds, column):
     def partial(batch: pa.Table) -> pa.Table:
         arr = batch.column(column)
         vals = np.asarray(arr.drop_null(), dtype=np.float64)
+        # NaN is skipped like null (the SQL aggregate convention);
+        # left in, it poisons min/max and is invisible to the range
+        # masks of every later narrowing pass, stalling the search.
+        vals = vals[~np.isnan(vals)]
         if not len(vals):
             return pa.table({'n': pa.array([0], pa.int64()),
                              'lo': pa.array([None], pa.float64()),

@@ -1,8 +1,10 @@
 """Degenerate-input robustness sweeps: every driver query over (a)
-zero-row tables and (b) tables whose payload columns are ALL NULL.
+zero-row tables, (b) tables whose payload columns are ALL NULL, and
+(c) tables whose float columns carry interleaved NaN values.
 
-At 100 TB scale both are routine — shards whose filters drop every
-row, and shards where the text / embedding / payload column is null —
+At 100 TB scale all three are routine — shards whose filters drop
+every row, shards where the text / embedding / payload column is null,
+and numeric columns with NaN —
 so every operator must tolerate them: return an empty (or
 degenerate-aggregate) result, never crash with a KeyError /
 AttributeError deep in a stage, and NEVER silently misalign (a
@@ -68,7 +70,8 @@ def null_payload_sf(tmp_path_factory):
     return str(root)
 
 
-def _sweep(mod, sf_dir):
+def _sweep(mod, sf_dir, expect_estimator_errors=True):
+    clean_errors = CLEAN_VALUEERROR if expect_estimator_errors else {}
     failures = []
     for name, fn in sorted(mod.queries().items()):
         try:
@@ -81,16 +84,41 @@ def _sweep(mod, sf_dir):
             df = result.to_pandas() if hasattr(result, 'to_pandas') \
                 else result
             assert df is not None, name
-            if name in CLEAN_VALUEERROR:
+            if name in clean_errors:
                 failures.append((name, 'expected ValueError, got result'))
         except ValueError as exc:
-            if name not in CLEAN_VALUEERROR:
+            if name not in clean_errors:
                 failures.append((name, 'ValueError', str(exc)[:200]))
-            elif CLEAN_VALUEERROR[name] not in str(exc):
+            elif clean_errors[name] not in str(exc):
                 failures.append((name, 'wrong message', str(exc)[:200]))
         except Exception as exc:  # noqa: BLE001 — report every crash
             failures.append((name, type(exc).__name__, str(exc)[:200]))
     assert not failures, '\n'.join(repr(f) for f in failures)
+
+
+@pytest.fixture(scope='module')
+def nan_sf(tmp_path_factory):
+    """Every 5th value of every float column is NaN (keys untouched) —
+    NaN is a VALUE to Arrow, not a null, and must be skipped like one
+    by the aggregate/quantile folds and reported as a clean violation
+    by numeric keywords (the reference crashes on nan multipleOf —
+    pinned in test_reference_divergences.py)."""
+    import numpy as np
+    root = tmp_path_factory.mktemp('sf_nan')
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(SRC, t + '.parquet'))
+        cols = {}
+        for f in tab.schema:
+            col = tab.column(f.name)
+            if pa.types.is_floating(f.type):
+                v = np.array(col.to_pandas(), dtype=np.float64, copy=True)
+                v[::5] = np.nan
+                col = pa.chunked_array([pa.array(v, type=f.type,
+                                                 from_pandas=False)])
+            cols[f.name] = col
+        pq.write_table(pa.table(cols).replace_schema_metadata(None),
+                       str(root / (t + '.parquet')))
+    return str(root)
 
 
 def test_every_query_tolerates_empty_tables(ray_session, empty_sf):
@@ -101,3 +129,8 @@ def test_every_query_tolerates_empty_tables(ray_session, empty_sf):
 def test_every_query_tolerates_null_payloads(ray_session, null_payload_sf):
     import __ray_entry__ as mod
     _sweep(mod, null_payload_sf)
+
+
+def test_every_query_tolerates_nan_floats(ray_session, nan_sf):
+    import __ray_entry__ as mod
+    _sweep(mod, nan_sf, expect_estimator_errors=False)

@@ -196,3 +196,22 @@ def test_manifest_violation_name_resets_per_attempt():
     assert first == retry == ['task-deadbeef-{:05d}.parquet'.format(i)
                               for i in range(3)]
     m._TASK_BATCH_ORDINALS.clear()
+
+
+def test_exact_quantile_skips_nan(ray_session):
+    """NaN values are skipped like nulls (SQL convention): quantiles
+    over a NaN-interleaved column equal numpy's quantile_disc over the
+    finite values only."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from python_fastjsonschema_ray.stages.quantile import exact_quantile
+
+    rng = np.random.default_rng(12)
+    v = rng.normal(50, 10, 1000)
+    v[::4] = np.nan
+    ds = ray.data.from_pandas(pd.DataFrame({'v': v})).repartition(4)
+    finite = np.sort(v[~np.isnan(v)])
+    for q in (0.1, 0.5, 0.9):
+        want = finite[max(int(np.ceil(len(finite) * q)) - 1, 0)]
+        assert exact_quantile(ds, 'v', q) == want

@@ -174,3 +174,38 @@ def test_post_decode_type_tracking_artifact_documented(reference):
     eng_v = engine.compile(dict(schema))
     out = eng_v(data)                  # engine: decoded, length re-gated
     assert out == b'hello world'
+
+
+def test_multipleof_nonfinite_clean_violation(reference):
+    """DOCUMENTED NON-MIMICRY: the reference CRASHES with a raw
+    ValueError/OverflowError at `int(quotient)` when the value is
+    nan/inf (draft04.py:361-364) — a crash, not a verdict, and one that
+    would kill a whole Arrow batch in the vectorized path.  The engine
+    reports a clean multipleOf violation instead (NaN/inf is never an
+    exact multiple); +inf additionally reaches the reference's own
+    'inifinity reached' site.  Pin both sides."""
+    import python_fastjsonschema_ray as engine
+
+    schema = {'multipleOf': 5}
+    ref_v = reference.compile(dict(schema))
+    with pytest.raises((ValueError, OverflowError)):
+        ref_v(float('nan'))
+    with pytest.raises((ValueError, OverflowError)):
+        ref_v(float('inf'))
+
+    eng_v = engine.compile(dict(schema))
+    for bad in (float('nan'), float('inf'), float('-inf')):
+        with pytest.raises(engine.JsonSchemaValueException) as exc:
+            eng_v(bad)
+        assert exc.value.rule == 'multipleOf'
+
+    # Vector path agrees: NaN rows emit violations, batch survives.
+    import pyarrow as pa
+    from python_fastjsonschema_ray.pipelines.validate import ValidatorStage
+    t = pa.table({'v': pa.array([10.0, float('nan'), 7.0],
+                                type=pa.float64())})
+    stage = ValidatorStage({'properties': {'v': {'multipleOf': 5}}},
+                           t.schema, mode='violations')
+    out = stage(t)
+    assert out.num_rows == 2           # the NaN row + the 7.0 row
+    assert set(out.column('row').to_pylist()) == {1, 2}
