@@ -32,8 +32,13 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """Vectorized rolling-hash values of all k-char shingles (uint64)."""
-    data = np.frombuffer(text.lower().encode('utf-8'), dtype=np.uint8)
+    """Vectorized rolling-hash values of all k-char shingles (uint64).
+
+    Shingles are CODEPOINT windows (UTF-32 view), not UTF-8 byte
+    windows: "character 5-gram" must mean the same thing for CJK or
+    emoji text as for ASCII, and the SQL oracle's ``substr(t, i, 5)``
+    counts codepoints.  The two coincide on ASCII."""
+    data = np.frombuffer(text.lower().encode('utf-32-le'), dtype=np.uint32)
     if len(data) < k:
         data = np.pad(data, (0, k - len(data)), constant_values=32)
     windows = np.lib.stride_tricks.sliding_window_view(data, k).astype(np.uint64)
@@ -104,11 +109,14 @@ def _batch_shingle_hashes(texts, k):
     bufs = []
     lens = np.empty(len(texts), dtype=np.int64)
     for i, t in enumerate(texts):
-        data = t.lower().encode('utf-8')
-        if len(data) < k:
-            data = data + b' ' * (k - len(data))
-        bufs.append(np.frombuffer(data, dtype=np.uint8))
-        lens[i] = len(data)
+        # Codepoint windows (UTF-32 view), matching _shingle_hashes.
+        data = t.lower().encode('utf-32-le')
+        n_cp = len(data) // 4
+        if n_cp < k:
+            data = data + ' '.encode('utf-32-le') * (k - n_cp)
+            n_cp = k
+        bufs.append(np.frombuffer(data, dtype=np.uint32))
+        lens[i] = n_cp
     if not bufs:
         return (np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.int64))
     all_bytes = np.concatenate(bufs)
