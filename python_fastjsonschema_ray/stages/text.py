@@ -127,15 +127,34 @@ class QualityStage:
 
 _LANG_WORD = re.compile(r'[a-zàâäéèêëïîôöùûüç]+')
 
+# Non-Latin scripts identified by codepoint-range ratio, checked IN
+# ORDER before the generic-CJK zh fallback: kana decides Japanese even
+# when kanji (CJK) dominates the character count, Hangul decides
+# Korean, and the alphabetic scripts each own their range.  (threshold
+# is lower for kana because Japanese prose mixes kanji + kana.)
+_SCRIPT_LANGS = (
+    ('ja', re.compile(r'[぀-ヿ]'), 0.05),
+    ('ko', re.compile(r'[가-힯ᄀ-ᇿ]'), 0.2),
+    ('ru', re.compile(r'[Ѐ-ӿ]'), 0.2),
+    ('ar', re.compile(r'[؀-ۿݐ-ݿ]'), 0.2),
+    ('he', re.compile(r'[֐-׿]'), 0.2),
+    ('el', re.compile(r'[Ͱ-Ͽ]'), 0.2),
+    ('hi', re.compile(r'[ऀ-ॿ]'), 0.2),
+)
+
 
 class LangIdStage:
-    """Stopword/script-based language ID over {en, de, fr, es, zh}.
+    """Stopword/script-based language ID over
+    {en, de, fr, es, zh, ja, ko, ru, ar, he, el, hi}.
 
-    CJK script ratio decides zh; otherwise the language with the most
-    stopword hits wins (en on ties/no-hits).  The batch path flattens the
-    batch's words once and scores all languages with C-level membership
-    passes + segmented prefix sums; ``classify`` is the scalar reference
-    (tests assert batch ≡ scalar)."""
+    Script codepoint-range ratios decide the non-Latin languages
+    (kana → ja before the generic-CJK zh check, Hangul → ko, Cyrillic →
+    ru, Arabic → ar, Hebrew → he, Greek → el, Devanagari → hi);
+    otherwise the Latin language with the most stopword hits wins (en
+    on ties/no-hits).  The batch path flattens the batch's words once
+    and scores all languages with C-level membership passes + segmented
+    prefix sums; ``classify`` is the scalar reference (tests assert
+    batch ≡ scalar)."""
 
     def __init__(self, column='text'):
         self.column = column
@@ -144,8 +163,12 @@ class LangIdStage:
     def classify(self, text: str) -> str:
         if not text:
             return 'en'
+        n = max(len(text), 1)
+        for lang, rx, thr in _SCRIPT_LANGS:
+            if len(rx.findall(text)) / n > thr:
+                return lang
         cjk = len(_CJK.findall(text))
-        if cjk / max(len(text), 1) > 0.2:
+        if cjk / n > 0.2:
             return 'zh'
         words = _LANG_WORD.findall(text.lower())
         if not words:
@@ -159,9 +182,19 @@ class LangIdStage:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         texts = batch[self.column].fillna('')
-        n_chars = texts.str.len().to_numpy()
+        n_chars = np.maximum(texts.str.len().to_numpy(), 1)
+        decided = np.full(len(texts), None, dtype=object)
+        remaining = np.ones(len(texts), dtype=bool)
+        # Script precedence mirrors the scalar loop's first-match order.
+        for lang, rx, thr in _SCRIPT_LANGS:
+            cnt = texts.str.count(rx.pattern).to_numpy()
+            hit = remaining & (cnt / n_chars > thr)
+            decided[hit] = lang
+            remaining &= ~hit
         cjk = texts.str.count(_CJK.pattern).to_numpy()
-        is_zh = cjk / np.maximum(n_chars, 1) > 0.2
+        is_zh = remaining & (cjk / n_chars > 0.2)
+        decided[is_zh] = 'zh'
+        remaining &= ~is_zh
         flat, counts, bounds = _explode_token_lists(
             texts.str.lower().str.findall(_LANG_WORD.pattern).tolist())
         flat_s = pd.Series(flat, dtype=object)
@@ -174,8 +207,8 @@ class LangIdStage:
         # strict-greater update seeded at en.  No-word docs score 0
         # everywhere and fall to en the same way.
         winner = np.asarray(langs, dtype=object)[np.argmax(scores, axis=1)]
-        winner[is_zh] = 'zh'
-        batch['lang_pred'] = winner
+        decided[remaining] = winner[remaining]
+        batch['lang_pred'] = decided
         return batch
 
 

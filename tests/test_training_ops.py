@@ -40,9 +40,22 @@ def test_langid_heuristic():
         'fr': 'le chat est dans la maison avec les enfants et il est content',
         'es': 'el perro es grande y no come con los gatos en la casa',
         'zh': '今天天气很好我们一起去公园散步吧然后吃晚饭',
+        'ja': '今日はいい天気ですね公園へ散歩に行きましょう',
+        'ko': '오늘 날씨가 좋아서 공원에 산책하러 갑니다',
+        'ru': 'Сегодня хорошая погода пойдем гулять в парк',
+        'ar': 'الطقس جميل اليوم لنذهب في نزهة إلى الحديقة',
+        'he': 'מזג האוויר יפה היום בוא נלך לטייל בפארק',
+        'el': 'ο καιρός είναι ωραίος σήμερα πάμε βόλτα στο πάρκο',
+        'hi': 'आज मौसम अच्छा है चलो पार्क में टहलने चलते हैं',
     }
     for lang, text in cases.items():
         assert stage.classify(text) == lang, (lang, stage.classify(text))
+
+    # Batch path must equal the scalar reference on every case.
+    df = pd.DataFrame({'text': list(cases.values()) + ['', 'no stopwords x']})
+    out = stage(df.copy())
+    exp = [stage.classify(t) for t in df['text']]
+    assert out['lang_pred'].tolist() == exp
 
 
 def test_minhash_finds_planted_near_dups(ray_session, docs):
