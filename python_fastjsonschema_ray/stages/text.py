@@ -32,6 +32,14 @@ STOPWORDS = {
            'pour', 'de', 'du', 'des', 'que', 'qui', 'dans', 'il', 'au'},
     'es': {'el', 'la', 'los', 'las', 'y', 'es', 'no', 'un', 'una', 'con',
            'para', 'de', 'del', 'que', 'en', 'se', 'por', 'su', 'al'},
+    # Added after the original four so the argmax tie-break (insertion
+    # order) never steals a tie from the longer-established tables.
+    'it': {'il', 'che', 'non', 'per', 'sono', 'della', 'anche', 'come',
+           'gli', 'più', 'nel', 'alla', 'questo', 'hanno', 'essere'},
+    'pt': {'não', 'uma', 'são', 'está', 'você', 'mais', 'como', 'dos',
+           'das', 'pelo', 'pela', 'isso', 'muito', 'já', 'também'},
+    'nl': {'het', 'een', 'niet', 'aan', 'ook', 'maar', 'voor', 'zijn',
+           'dat', 'ik', 'naar', 'heeft', 'wordt', 'deze', 'bij'},
 }
 
 
@@ -125,7 +133,7 @@ class QualityStage:
         return batch
 
 
-_LANG_WORD = re.compile(r'[a-zàâäéèêëïîôöùûüç]+')
+_LANG_WORD = re.compile(r'[a-zà-öø-ÿ]+')   # full Latin-1 letter range
 
 # Non-Latin scripts identified by codepoint-range ratio, checked IN
 # ORDER before the generic-CJK zh fallback: kana decides Japanese even
@@ -145,7 +153,7 @@ _SCRIPT_LANGS = (
 
 class LangIdStage:
     """Stopword/script-based language ID over
-    {en, de, fr, es, zh, ja, ko, ru, ar, he, el, hi}.
+    {en, de, fr, es, it, pt, nl, zh, ja, ko, ru, ar, he, el, hi}.
 
     Script codepoint-range ratios decide the non-Latin languages
     (kana → ja before the generic-CJK zh check, Hangul → ko, Cyrillic →

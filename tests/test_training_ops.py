@@ -39,6 +39,9 @@ def test_langid_heuristic():
         'de': 'der hund ist nicht mit der katze auf dem sofa und auch nicht im garten',
         'fr': 'le chat est dans la maison avec les enfants et il est content',
         'es': 'el perro es grande y no come con los gatos en la casa',
+        'it': 'questo non è come gli altri anche se hanno più voglia di essere nel mondo',
+        'pt': 'você não está como os outros mais já também gosta muito dos passeios',
+        'nl': 'het is niet een hond maar ook voor zijn vrienden gaat ik naar deze plek',
         'zh': '今天天气很好我们一起去公园散步吧然后吃晚饭',
         'ja': '今日はいい天気ですね公園へ散歩に行きましょう',
         'ko': '오늘 날씨가 좋아서 공원에 산책하러 갑니다',
