@@ -110,3 +110,22 @@ def test_shingle_kernels_count_codepoints():
     assert len(_shingle_hashes(s, 5)) == 2
     hashes, segs = _batch_shingle_hashes([s], 5)
     assert len(hashes) == 2 and list(segs) == [0]
+
+
+def test_langid_detects_scripts_through_ray(ray_session, unicode_sf):
+    """End-to-end language ID over the unicode corpus: every document
+    built from a non-Latin snippet must classify to that snippet's
+    language (script-range detection), never fall through to 'en'."""
+    import ray.data
+    from python_fastjsonschema_ray.stages.text import LangIdStage
+
+    ds = ray.data.read_parquet(unicode_sf + '/documents.parquet',
+                               columns=['doc_id', 'text'])
+    out = ds.map_batches(LangIdStage('text'),
+                         batch_format='pandas').to_pandas()
+    out = out.sort_values('doc_id').reset_index(drop=True)
+    # Snippet i cycles with doc_id % len(SNIPPETS); the non-Latin ones:
+    expected_by_mod = {1: 'ja', 2: 'ru', 3: 'ar', 5: 'ko', 6: 'el'}
+    for mod, lang in expected_by_mod.items():
+        got = out[out['doc_id'] % len(SNIPPETS) == mod]['lang_pred']
+        assert (got == lang).all(), (lang, got.value_counts().to_dict())
