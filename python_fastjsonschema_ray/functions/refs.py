@@ -69,18 +69,66 @@ def urllib_handler(allowed_prefixes=None):
         pre-resolve references instead.  This engine never fetches by
         default — unlike the reference, the handler must be registered
         explicitly (``handlers=urllib_handlers()``).
+
+    ``allowed_prefixes`` entries are absolute URI prefixes compared
+    component-wise: the request's scheme and netloc must EQUAL the
+    prefix's (case-insensitive), and its path must start with the
+    prefix's path — so ``http://example.com`` does NOT admit
+    ``http://example.com.evil.io/`` or ``http://example.com@evil.io/``.
+    When a guard is set, HTTP redirects are followed only after the
+    redirect target passes the same check.
     """
     import json
 
-    prefixes = tuple(allowed_prefixes) if allowed_prefixes else None
+    # Parsed (scheme, netloc, path-prefix) triples: a naive
+    # uri.startswith() guard accepts 'http://example.com.evil.io/' and
+    # 'http://example.com@evil.io/' for allowed prefix
+    # 'http://example.com', so origins are compared component-wise.
+    prefixes = None
+    if allowed_prefixes:
+        prefixes = []
+        for p in allowed_prefixes:
+            parts = urlparse.urlsplit(p)
+            if not parts.scheme:
+                raise JsonSchemaDefinitionException(
+                    'allowed_prefixes entries must be absolute URIs '
+                    '(got {!r})'.format(p))
+            prefixes.append(
+                (parts.scheme.lower(), parts.netloc.lower(), parts.path))
+
+    def _check_allowed(uri):
+        if prefixes is None:
+            return
+        parts = urlparse.urlsplit(uri)
+        scheme = parts.scheme.lower()
+        netloc = parts.netloc.lower()
+        for a_scheme, a_netloc, a_path in prefixes:
+            if (scheme == a_scheme and netloc == a_netloc
+                    and parts.path.startswith(a_path)):
+                return
+        raise JsonSchemaDefinitionException(
+            'Remote ref {} not under an allowed prefix'.format(uri))
+
+    def _open(uri):
+        from urllib.request import (HTTPRedirectHandler, build_opener,
+                                    urlopen)
+        if prefixes is None:
+            return urlopen(uri)
+
+        # Re-check every redirect target: urlopen's default opener
+        # follows redirects off the allowed origin otherwise.
+        class _GuardedRedirect(HTTPRedirectHandler):
+            def redirect_request(self, req, fp, code, msg, headers,
+                                 newurl):
+                _check_allowed(newurl)
+                return HTTPRedirectHandler.redirect_request(
+                    self, req, fp, code, msg, headers, newurl)
+
+        return build_opener(_GuardedRedirect).open(uri)
 
     def handler(uri):
-        if prefixes is not None and not uri.startswith(prefixes):
-            raise JsonSchemaDefinitionException(
-                'Remote ref {} not under an allowed prefix'.format(uri))
-        from urllib.request import urlopen
-
-        with urlopen(uri) as response:
+        _check_allowed(uri)
+        with _open(uri) as response:
             charset = 'utf-8'
             try:
                 charset = response.info().get_content_charset() or 'utf-8'

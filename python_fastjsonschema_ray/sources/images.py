@@ -69,12 +69,16 @@ def decode_image(data: bytes, fmt: str, w: int = None, h: int = None):
         body = data[header_end + 1:]
         if len(body) != w_ * h_ * 3:
             raise ValueError('ppm payload size mismatch')
+        if w_ * h_ == 0:
+            raise ValueError('zero-area image')
         return np.frombuffer(body, dtype=np.uint8).reshape(h_, w_, 3)
     if fmt == 'raw':
         if w is None or h is None:
             raise ValueError('raw needs dimensions')
         if len(data) != w * h * 3:
             raise ValueError('raw payload size mismatch')
+        if w * h == 0:
+            raise ValueError('zero-area image')
         return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
     if fmt == 'lossy':
         if not data.startswith(b'L6 '):
@@ -85,6 +89,8 @@ def decode_image(data: bytes, fmt: str, w: int = None, h: int = None):
         body = data[header_end + 1:]
         if len(body) != w_ * h_ * 3:
             raise ValueError('lossy payload size mismatch')
+        if w_ * h_ == 0:
+            raise ValueError('zero-area image')
         q = np.frombuffer(body, dtype=np.uint8).reshape(h_, w_, 3)
         return ((q.astype(np.uint16) << 2) + 2).clip(0, 255).astype(np.uint8)
     raise ValueError('unknown fmt {!r}'.format(fmt))

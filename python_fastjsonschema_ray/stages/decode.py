@@ -202,6 +202,16 @@ class DecodeCheckStage:
                     'lossy' if is_l[j] else 'ppm')
             slow_mask[hdr_rows[magic_ok & ~parsed]] = True
 
+        # Zero-area guard: w*h == 0 passes every size check (0 == 0*3)
+        # but would put hv-1 = -1 into the phash gather below —
+        # negative buffer positions, uncaught IndexError.  Route to an
+        # explicit error instead (matches decode_image's scalar path).
+        za = ok & (dw * dh == 0)
+        if za.any():
+            ok[za] = False
+            for i in np.nonzero(za)[0]:
+                errs[i] = 'zero-area image'
+
         # Reference fallback for anomalous rows — exact error strings.
         slow_pixels = {}
         for i in np.nonzero(slow_mask)[0]:
@@ -327,6 +337,9 @@ class DecodeCheckStage:
                 else:
                     raise _FastParseMiss
                 ok[i] = True
+                if dw[i] * dh[i] == 0:      # see __call__'s za guard
+                    ok[i] = False
+                    errs[i] = 'zero-area image'
             except Exception:
                 slow.append(i)
 

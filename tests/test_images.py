@@ -130,6 +130,10 @@ def test_decode_vectorized_matches_rowloop():
         (b'x' * 11, 'raw', 2, 2),                        # raw bad size
         (b'x' * 12, 'webp', 2, 2),                       # unknown fmt
         (b'P6 0 0\n', 'ppm', 0, 0),                      # zero dims
+        (b'L6 0 0\n', 'lossy', 0, 0),                    # zero dims lossy
+        (b'', 'raw', 0, 0),                              # zero dims raw
+        (b'', 'raw', 0, 5),                              # zero width raw
+        (b'P6 0 3\n', 'ppm', 0, 3),                      # zero width ppm
     ]
     import pyarrow as pa
     base = t.to_pylist()
@@ -147,6 +151,43 @@ def test_decode_vectorized_matches_rowloop():
     # Sliced (non-zero offset) batches read the right buffer windows.
     sl = full.slice(700, 500)
     assert stage(sl).to_pylist() == stage._call_rowloop(sl).to_pylist()
+
+
+def test_decode_zero_area_explicit_error():
+    """A zero-area image (w*h == 0) passes every payload-size check
+    (0 == 0*3) but must NOT reach the phash gather: as the only row in
+    a batch its body offset is 0, so the gather's hv-1 = -1 positions
+    would index out of an empty buffer (uncaught IndexError in the Ray
+    task).  Both paths now emit an explicit 'zero-area image' error."""
+    import pyarrow as pa
+    rows = [
+        {'image_id': 'z0', 'bytes': b'P6 0 0\n', 'w': 0, 'h': 0,
+         'fmt': 'ppm', 'caption': 'z', 'phash': 0},
+        {'image_id': 'z1', 'bytes': b'', 'w': 0, 'h': 0,
+         'fmt': 'raw', 'caption': 'z', 'phash': 0},
+        {'image_id': 'z2', 'bytes': b'L6 0 0\n', 'w': 0, 'h': 0,
+         'fmt': 'lossy', 'caption': 'z', 'phash': 0},
+    ]
+    schema = pa.schema([('image_id', pa.string()), ('bytes', pa.binary()),
+                        ('w', pa.int32()), ('h', pa.int32()),
+                        ('fmt', pa.string()), ('caption', pa.string()),
+                        ('phash', pa.int64())])
+    t = pa.Table.from_pylist(rows, schema=schema)
+    stage = DecodeCheckStage()
+    for out in (stage(t).to_pylist(), stage._call_rowloop(t).to_pylist()):
+        assert all(not r['decode_ok'] for r in out)
+        assert all(r['error'] == 'zero-area image' for r in out)
+    # Single-row batches (the empty-buffer crash repro) survive too.
+    for row in rows:
+        one = pa.Table.from_pylist([row], schema=schema)
+        assert stage(one).to_pylist() == stage._call_rowloop(one).to_pylist()
+    # The scalar decode path agrees.
+    import pytest as _pytest
+    from python_fastjsonschema_ray.sources.images import decode_image
+    for blob, fmt in ((b'P6 0 0\n', 'ppm'), (b'', 'raw'),
+                      (b'L6 0 0\n', 'lossy')):
+        with _pytest.raises(ValueError, match='zero-area image'):
+            decode_image(blob, fmt, 0, 0)
 
 
 def test_decode_vectorized_fuzz_headers():
