@@ -168,6 +168,15 @@ def q_phash_near_dup_documents(sf_dir: str):
 
     def derive(b: pa.Table) -> pa.Table:
         d = np.asarray(b.column('doc_id'), dtype=np.int64)
+        if d.size and d.max() >= 262144:
+            # Above this the 16-bit fields overlap: the bitwise-OR
+            # derivation diverges from the SQL oracle's addition, and
+            # the oracle's g*2^48 BIGINT term overflows DuckDB at
+            # doc_id >= 524288.  Raise loudly instead of silently
+            # diverging if the fixture scale ever grows that far.
+            raise ValueError(
+                'phash derivation requires doc_id < 262144 '
+                '(got {})'.format(int(d.max())))
         g = d // 16
         ph = (g << 48) | (g << 32) | (g << 16) | (g * 4 + d % 4)
         return b.append_column('phash', pa.array(ph))
@@ -942,7 +951,11 @@ def q_tfidf_top_terms_documents(sf_dir: str):
                      combine='bucket')
     df = df.map_batches(
         lambda b: b.rename_columns(['w', 'df']), batch_format='pyarrow')
-    scored = broadcast_lookup_join(tf, 'word', df, 'w', ['df'])
+    # The df table is vocabulary-sized — fine to broadcast at test
+    # scale, but a corpus-scale vocab outgrows worker heaps, so the
+    # join auto-falls-back to a shuffle above the size gate.
+    scored = broadcast_lookup_join(tf, 'word', df, 'w', ['df'],
+                                   broadcast_limit_bytes=256 << 20)
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
         batch['tfidf'] = batch['tf'] * np.log(
@@ -1190,9 +1203,12 @@ def q_vocabulary_documents(sf_dir: str):
     """Corpus vocabulary: the 50 most frequent words with exact counts
     (count desc, word asc tie-break).  Explode is a vectorized
     per-batch flat-map; counts fold through grouped_agg's map-side
-    combine, then grouped_topk over a single group."""
+    combine, then a distributed global_topk fold — at most 50 rows per
+    block move, and only the 50 winners reach the driver (the full
+    vocab, billions of distinct words at corpus scale, never does)."""
     import numpy as np
-    from python_fastjsonschema_ray.pipelines.constraints import grouped_agg
+    from python_fastjsonschema_ray.pipelines.constraints import (
+        global_topk, grouped_agg)
     ds = _read(sf_dir, 'documents', ['text'])
 
     def explode(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1208,12 +1224,13 @@ def q_vocabulary_documents(sf_dir: str):
 
     words = ds.map_batches(explode, batch_format='pandas')
     vocab = grouped_agg(words, ['word'], {'n': (None, 'count')})
-    vdf = vocab.to_pandas()
-    if vdf.empty:                      # empty corpus drops the schema
+    top = global_topk(vocab, ['n', 'word'], 50,
+                      descending=[True, False])
+    tdf = top.to_pandas()              # ≤ 50 rows by construction
+    if tdf.empty:                      # empty corpus drops the schema
         return pd.DataFrame({'word': pd.Series(dtype='object'),
                              'n': pd.Series(dtype='int64')})
-    top = vdf.sort_values(['n', 'word'], ascending=[False, True]).head(50)
-    return top.reset_index(drop=True)[['word', 'n']]
+    return tdf.reset_index(drop=True)[['word', 'n']]
 
 
 def q_winsorize_lineitem(sf_dir: str):

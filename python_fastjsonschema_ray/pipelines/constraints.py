@@ -676,6 +676,38 @@ def grouped_topk(ds, group_columns, order_columns, k, descending=None,
                                                   batch_format='pandas')
 
 
+def global_topk(ds, order_columns, k, descending=None):
+    """Global top-k rows — the ungrouped sibling of :func:`grouped_topk`
+    (and of ``sort().limit()``, without the full-dataset sort exchange).
+
+    Top-k is associative: each block keeps its local top-k (vectorized
+    pandas sort+head), so at most k rows per input block move, and one
+    single-task fold applies the identical kernel to the ≤ k×blocks
+    survivors.  Make ``order_columns`` a total order (append a tiebreak
+    key) for a deterministic result.  The result Dataset has ≤ k rows —
+    safe to ``to_pandas()`` — while the input is never materialized on
+    the driver."""
+    import pandas as pd
+
+    order_columns = list(order_columns)
+    if descending is None:
+        descending = [True] * len(order_columns)
+    ascending = [not d for d in descending]
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):             # schemaless empty passthrough
+            return batch
+        return batch.sort_values(order_columns,
+                                 ascending=ascending).head(k)
+
+    partials = ds.map_batches(local_topk, batch_format='pandas')
+    # One fold task sees every survivor in ONE batch (batch_size=None =
+    # whole block; the default 1024-row chunking would emit k rows per
+    # CHUNK): k × blocks rows in, k rows out — result-sized.
+    return partials.repartition(1).map_batches(
+        local_topk, batch_format='pandas', batch_size=None)
+
+
 def distinct_count(ds, columns, concurrency=None, coalesce=True,
                    num_buckets=None) -> int:
     """EXACT distinct count of a key tuple (HyperLogLog in column_stats

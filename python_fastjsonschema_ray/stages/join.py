@@ -39,7 +39,8 @@ def _as_arrow(t):
 
 
 def broadcast_lookup_join(ds, key, ref_ds, ref_key, ref_columns=None,
-                          how='inner', check_unique=False):
+                          how='inner', check_unique=False,
+                          broadcast_limit_bytes=None):
     """Enrich ``ds`` with ``ref_columns`` from ``ref_ds`` matched on
     ``ds[key] == ref_ds[ref_key]``.
 
@@ -50,7 +51,17 @@ def broadcast_lookup_join(ds, key, ref_ds, ref_key, ref_columns=None,
     match, so semi drops them and anti keeps them) without appending
     any columns — the broadcast denylist/allowlist filter.  For
     inner/left the ref side must be unique on ``ref_key``; semi/anti
-    tolerate duplicates."""
+    tolerate duplicates.
+
+    ``broadcast_limit_bytes`` gates the broadcast (the
+    ``broadcast_text_limit`` discipline from stages/dedup.py): the ref
+    side is materialized once and, if its block-metadata size exceeds
+    the limit, the join falls back to :func:`shuffle_join` — a ref side
+    that outgrows worker heaps (e.g. a corpus-scale vocabulary table)
+    must exchange, not ship to every task.  The fallback has identical
+    results when the ref side is unique on ``ref_key`` (pass
+    ``check_unique=True`` to enforce; with duplicate ref keys broadcast
+    takes the first match while shuffle emits the SQL cross product)."""
     import ray
 
     from .dedup import _worker_cached
@@ -60,7 +71,13 @@ def broadcast_lookup_join(ds, key, ref_ds, ref_key, ref_columns=None,
     if how in ('semi', 'anti'):
         ref_columns = []
     ref_columns = [c for c in (ref_columns or []) if c != ref_key]
-    refs = ref_ds.select_columns([ref_key] + ref_columns).to_arrow_refs()
+    ref_ds = ref_ds.select_columns([ref_key] + ref_columns)
+    if broadcast_limit_bytes is not None:
+        ref_ds = ref_ds.materialize()   # size check + refs share one exec
+        if (ref_ds.size_bytes() or 0) > broadcast_limit_bytes:
+            return shuffle_join(ds, ref_ds, key, ref_key, ref_columns,
+                                how=how)
+    refs = ref_ds.to_arrow_refs()
 
     if check_unique:
         import pyarrow.compute as pc
@@ -170,6 +187,27 @@ def shuffle_join(left, right, left_key, right_key, right_columns,
     left_types = dict(zip(left_schema.names, left_schema.types))
     right_schema = right.schema()
     right_types = dict(zip(right_schema.names, right_schema.types))
+    lk_t, rk_t = left_types.get(left_key), right_types.get(right_key)
+    if lk_t is not None and rk_t is not None and lk_t != rk_t:
+        # Mismatched key dtypes hash to DIFFERENT buckets upstream
+        # (int 2 vs float 2.0), so the join would mostly return empty
+        # silently; a naive pandas astype in the merge would also
+        # truncate float keys to int (2.5 -> 2) and fabricate matches.
+        # Align at the boundary with Arrow's checked cast (safe=True
+        # raises on any lossy value: 2.5 -> int, 2^53+1 -> float).
+        def align_key(b: pa.Table, _k=right_key, _t=lk_t) -> pa.Table:
+            try:
+                cast = b.column(_k).cast(_t)
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as exc:
+                raise TypeError(
+                    'shuffle_join: right key {!r} ({}) cannot be cast '
+                    'losslessly to the left key type {}; cast the key '
+                    'columns explicitly before joining: {}'.format(
+                        _k, b.column(_k).type, _t, exc)) from exc
+            return b.set_column(b.schema.get_field_index(_k), _k, cast)
+
+        right = right.map_batches(align_key, batch_format='pyarrow')
+        right_types = dict(right_types, **{right_key: lk_t})
     out_names = left_names + ['_side', right_key] + right_columns
     # Null padding must carry the REAL column types or the union's
     # schemas diverge (null-typed vs int64 columns).
@@ -234,10 +272,22 @@ def shuffle_join(left, right, left_key, right_key, right_columns,
             '__k': r.column(right_key).to_pandas(),
             '__rpos': np.arange(r.num_rows, dtype=np.int64)})
         if lhs['__k'].dtype != rhs['__k'].dtype:
+            # Defensive only (keys are Arrow-aligned at the API
+            # boundary above): reconcile residual pandas dtype drift,
+            # but never through a lossy cast — silent float->int
+            # truncation would fabricate matches SQL rejects.
+            def _checked(src, dtype):
+                cast = src.astype(dtype)
+                if not bool(((cast == src) | src.isna()).all()):
+                    raise TypeError(
+                        'shuffle_join: lossy key cast {} -> {}; cast '
+                        'the key columns explicitly before '
+                        'joining'.format(src.dtype, dtype))
+                return cast
             try:
-                rhs['__k'] = rhs['__k'].astype(lhs['__k'].dtype)
+                rhs['__k'] = _checked(rhs['__k'], lhs['__k'].dtype)
             except (TypeError, ValueError):
-                lhs['__k'] = lhs['__k'].astype(rhs['__k'].dtype)
+                lhs['__k'] = _checked(lhs['__k'], rhs['__k'].dtype)
         out = lhs.merge(rhs, on='__k', how=how)
         lpos = pa.array(out['__lpos'].to_numpy(dtype=np.int64))
         rpos = pa.array(out['__rpos'], type=pa.int64(), from_pandas=True)

@@ -400,3 +400,23 @@ def test_distinct_count_exact(ray_session, ddb):
     import pyarrow as pa
     empty = ray.data.from_arrow(pa.table({'a': pa.array([], pa.int64())}))
     assert distinct_count(empty, ['a']) == 0
+
+
+def test_global_topk(ray_session):
+    """global_topk == sort().limit() with a total order, without the
+    full sort exchange; ties broken by the appended key."""
+    import pyarrow as pa
+    import ray.data
+    from python_fastjsonschema_ray.pipelines.constraints import global_topk
+    t = pa.table({'w': pa.array(list('edcbaabcde')),
+                  'n': pa.array([5, 3, 3, 9, 1, 5, 3, 3, 9, 1],
+                                type=pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = global_topk(ds, ['n', 'w'], 4,
+                      descending=[True, False]).to_pandas()
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        ('b', 9), ('d', 9), ('a', 5), ('e', 5)]
+    # k larger than the dataset returns everything, still ordered.
+    out = global_topk(ds, ['n', 'w'], 99,
+                      descending=[True, False]).to_pandas()
+    assert len(out) == 10 and out['n'].iloc[0] == 9

@@ -477,3 +477,70 @@ def test_asof_join_preserves_big_int64(ray_session):
     # 'a'@1 precedes the right row at t=3 -> unmatched; 'b'@5 has no
     # right row <= 5 -> unmatched; 'a'@5 matches t=3 with the big value.
     assert rows == [('a', 1, None), ('a', 5, big), ('b', 5, None)]
+
+
+def test_shuffle_join_mixed_key_dtypes_lossless(ray_session):
+    """int64-left / float64-right keys: mixed dtypes used to hash to
+    different buckets (silently empty result); now the right key is
+    Arrow-safe-cast to the left type at the API boundary, so
+    integral-valued float keys join correctly."""
+    import ray.data
+    from python_fastjsonschema_ray.stages.join import shuffle_join
+    left = ray.data.from_arrow(pa.table({
+        'k': pa.array([1, 2, 3], type=pa.int64()),
+        'lv': pa.array(['a', 'b', 'c'])})).repartition(2)
+    right = ray.data.from_arrow(pa.table({
+        'rk': pa.array([2.0, 3.0], type=pa.float64()),
+        'rv': pa.array(['p', 'q'])})).repartition(2)
+    out = shuffle_join(left, right, 'k', 'rk', ['rv']).to_pandas()
+    got = sorted(map(tuple, out[['k', 'lv', 'rv']].itertuples(index=False)))
+    assert got == [(2, 'b', 'p'), (3, 'c', 'q')]
+    # Narrower int widens losslessly too.
+    right32 = ray.data.from_arrow(pa.table({
+        'rk': pa.array([1, 3], type=pa.int32()),
+        'rv': pa.array(['x', 'y'])}))
+    out = shuffle_join(left, right32, 'k', 'rk', ['rv']).to_pandas()
+    got = sorted(map(tuple, out[['k', 'lv', 'rv']].itertuples(index=False)))
+    assert got == [(1, 'a', 'x'), (3, 'c', 'y')]
+
+
+def test_shuffle_join_lossy_key_cast_raises(ray_session):
+    """A fractional float key (2.5) cannot cast losslessly to the int
+    left key type: the join raises loudly instead of truncating
+    (2.5 -> 2 would fabricate a match SQL rejects)."""
+    import pytest
+    import ray.data
+    from python_fastjsonschema_ray.stages.join import shuffle_join
+    left = ray.data.from_arrow(pa.table({
+        'k': pa.array([1, 2], type=pa.int64()),
+        'lv': pa.array(['a', 'b'])}))
+    right = ray.data.from_arrow(pa.table({
+        'rk': pa.array([2.5, 1.0], type=pa.float64()),
+        'rv': pa.array(['p', 'q'])}))
+    with pytest.raises(Exception, match='losslessly'):
+        shuffle_join(left, right, 'k', 'rk', ['rv']).materialize()
+
+
+def test_broadcast_limit_falls_back_to_shuffle(ray_session):
+    """broadcast_limit_bytes gates the broadcast: a limit of 1 byte
+    forces the shuffle_join path, which must produce the same result as
+    the broadcast path (unique ref side), for inner and left."""
+    import ray.data
+    from python_fastjsonschema_ray.stages.join import broadcast_lookup_join
+    left = ray.data.from_arrow(pa.table({
+        'k': pa.array([1, 2, 3, 4, None], type=pa.int64()),
+        'lv': pa.array(['a', 'b', 'c', 'd', 'n'])})).repartition(2)
+    ref = ray.data.from_arrow(pa.table({
+        'rk': pa.array([1, 3], type=pa.int64()),
+        'rv': pa.array(['p', 'q'])}))
+    for how in ('inner', 'left', 'semi', 'anti'):
+        wide = broadcast_lookup_join(
+            left, 'k', ref, 'rk', ['rv'], how=how,
+            broadcast_limit_bytes=1 << 30).to_pandas()
+        narrow = broadcast_lookup_join(
+            left, 'k', ref, 'rk', ['rv'], how=how,
+            broadcast_limit_bytes=1).to_pandas()
+        key = lambda df: sorted(
+            map(repr, df[sorted(df.columns)].itertuples(index=False)))
+        assert key(wide) == key(narrow), how
+        assert sorted(wide.columns) == sorted(narrow.columns), how
