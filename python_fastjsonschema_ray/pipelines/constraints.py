@@ -228,13 +228,25 @@ def check_unique(ds, columns, concurrency=None, num_buckets=None,
         _AddKeyBucket(columns, num_buckets or _default_buckets()),
         batch_format='pyarrow')
 
-    def dups(group: pd.DataFrame) -> pd.DataFrame:
-        totals = group.groupby(columns, sort=False)['partial_n'].sum()
+    def dups(group: pa.Table) -> pa.Table:
+        # Arrow in/out with an explicit output schema: a pandas return
+        # leaves EMPTY results with object-dtype key columns, which
+        # Ray's block-size estimator chokes on ("cannot call vectorize
+        # on size 0 inputs") — the typed empty table is silent.
+        if any(c not in group.schema.names for c in columns):
+            return group            # schemaless empty block passthrough
+        out_schema = pa.schema(
+            [group.schema.field(c) for c in columns]
+            + [pa.field('n', pa.int64())])
+        df = group.select(columns + ['partial_n']).to_pandas()
+        totals = df.groupby(columns, sort=False)['partial_n'].sum()
         totals = totals[totals > 1]
         out = totals.reset_index().rename(columns={'partial_n': 'n'})
-        return out
+        return pa.Table.from_pandas(out, schema=out_schema,
+                                    preserve_index=False)
 
-    return bucketed.groupby('_bucket').map_groups(dups, batch_format='pandas')
+    return bucketed.groupby('_bucket').map_groups(dups,
+                                                  batch_format='pyarrow')
 
 
 def dedup_exact(ds, columns, concurrency=None, num_buckets=None,
