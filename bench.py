@@ -210,7 +210,7 @@ def main():
                 _b = json.load(f)
             # Only comparable at the baseline's own scale + parallelism.
             if _b.get('sf') == sf and _b.get('num_cpus') == NUM_CPUS:
-                base_q, base_total = _b.get('queries', {}), _b.get('value')
+                base_q = _b.get('queries', {})
         except (ValueError, OSError):
             pass
 
@@ -218,7 +218,14 @@ def main():
         return sorted(timings[n] / base_q[n]
                       for n in timings if base_q.get(n))
 
-    if base_q and sum(timings.values()) > (base_total or 0) * 1.15:
+    # Compare like with like: only queries the baseline also timed
+    # (--only subsets would otherwise gate a 2-query total against the
+    # full-run baseline value).
+    base_total = (round(sum(base_q[n] for n in timings if n in base_q), 3)
+                  or None) if base_q else None
+    matched = (sum(timings[n] for n in timings if n in base_q)
+               if base_q else 0.0)
+    if base_q and matched > (base_total or 0) * 1.15:
         for name in sorted(timings):
             ref = base_q.get(name)
             if ref and timings[name] > ref * TOLERANCE and name in rerunnable:
@@ -253,7 +260,9 @@ def main():
         'flagship_rows_per_s': round(FLAGSHIP_ROWS / flag_sec, 1),
         'load_avg': [load_avg_start, round(os.getloadavg()[0], 2)],
         'baseline_value': base_total,
-        'vs_baseline': (round(total / base_total, 2) if base_total else None),
+        'vs_baseline': (round(sum(timings[n] for n in timings
+                                  if n in base_q) / base_total, 2)
+                        if base_total else None),
         'median_query_ratio': median_ratio,
         'contention_suspected': contention_suspected,
     }))

@@ -119,6 +119,13 @@ def curate_corpus(ds, *, id_column='doc_id', text_column='text',
     # does, making the materialize redundant); materialize() is the
     # in-memory spillable equivalent.
     if checkpoint_dir is None:
+        # Coalesce before pinning: the read leaves many tiny blocks and
+        # every downstream consumer (winner extraction, three broadcast
+        # filters, banding) pays per-task scheduling for each — merge to
+        # ~cpus/2 blocks once, inside the same pinning execution.
+        import ray
+        ds = ds.repartition(
+            max(int(ray.cluster_resources().get('CPU', 8)) // 2, 1))
         ds = ds.materialize()
 
     # 4. Exact dedup: winner ids per distinct fingerprint (one row per
@@ -133,8 +140,11 @@ def curate_corpus(ds, *, id_column='doc_id', text_column='text',
     #    the only shuffle).  Same fan-out shape: banding + the keep
     #    filter both read `ds`.
     if near_dup_threshold is not None:
-        if checkpoint_dir is None:
-            ds = ds.materialize()
+        # No second barrier: the minhash banding pass and its keep
+        # filter DO both re-execute `ds`, but past the step-3 pin that
+        # prefix is only the broadcast semi-join filter over pinned
+        # blocks (an index_in per batch) — re-running it twice is
+        # cheaper than a second full materialization of the corpus.
         ds = dedup_minhash(ds, id_column, text_column,
                            threshold=near_dup_threshold,
                            transitive=transitive)
