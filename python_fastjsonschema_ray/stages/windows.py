@@ -107,22 +107,42 @@ def sliding_window_agg(ds, ts_column, key_column, value_column, window_s,
 
 
 def session_windows(ds, ts_column, key_column, gap_s, concurrency=None,
-                    num_buckets=None):
+                    num_buckets=None, time_block_s=None):
     """Session windows (gap-based).  Returns
     (key, session_start, session_end, n).
 
     Keys are high-cardinality (users), so a raw ``groupby(key)`` would
-    pay the per-distinct-key sort-aggregate cost; instead each key's
-    full history co-locates on a COARSE hash bucket of the key and ALL
+    pay the per-distinct-key sort-aggregate cost; instead events
+    co-locate on a COARSE hash bucket of ``(key, time block)`` and ALL
     keys in a bucket sessionize in one vectorized pass: sort by
     (key, ts), session breaks where the key changes or the gap is
-    exceeded, one reduceat-free segment fold.  Partitioning assumption
-    (documented): one key's events fit one bucket group — true whenever
-    per-key history fits a worker, the same bound the per-key variant
-    had."""
+    exceeded, one reduceat-free segment fold.
+
+    Hot-key guard: bucketing on the key ALONE would ship a hot key's
+    entire event history (one user = 50% of the log) into a single
+    bucket group and OOM the worker during the shuffle.  The time block
+    (``time_block_s``, default ``64 × gap_s``) salts the exchange by
+    event time, so no group ever holds more than one block's worth of
+    any key; a second, session-row-sized merge pass re-joins sessions
+    that cross block boundaries (two sessions of the same key merge
+    when ``next.start − prev.end ≤ gap`` — exactly the event-level
+    rule, applied to the block-local sessions, which is exact because
+    block-local sessionization already broke everything else).
+    Partitioning assumptions (documented): one key's events within one
+    time block fit a worker (events-per-key-per-``time_block_s``
+    bounded), and one key's SESSION rows fit a worker — both far weaker
+    than the whole-history bound.  ``time_block_s`` must exceed
+    ``gap_s`` (enforced) so events in non-adjacent blocks can never
+    belong to one session."""
     from ..pipelines.constraints import _AddKeyBucket, _default_buckets
 
     gap_us = int(gap_s * 1_000_000)
+    if time_block_s is None:
+        time_block_s = 64 * gap_s
+    if time_block_s <= gap_s:
+        raise ValueError('time_block_s must exceed gap_s '
+                         '({} <= {})'.format(time_block_s, gap_s))
+    block_us = int(time_block_s * 1_000_000)
 
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
         g = group.sort_values([key_column, ts_column])
@@ -150,12 +170,57 @@ def session_windows(ds, ts_column, key_column, gap_s, concurrency=None,
             'n': ends - starts,
         })
 
-    bucketed = ds.map_batches(
+    def add_time_block(batch: pa.Table) -> pa.Table:
+        if ts_column not in batch.schema.names:
+            return batch            # schemaless empty passthrough
+        col = (batch.column(ts_column).combine_chunks()
+               .cast(pa.timestamp('us')).cast(pa.int64()))
+        # Null ts sorts first as NaT inside sessions(); park it in a
+        # far-negative block so np.asarray never sees a null int64.
+        ts = np.asarray(pc.fill_null(col, -(1 << 62)))
+        return batch.append_column(
+            '_tblock', pa.array(ts // block_us, type=pa.int64()))
+
+    bucketed = ds.map_batches(add_time_block, batch_format='pyarrow') \
+        .map_batches(
+            _AddKeyBucket([key_column, '_tblock'],
+                          num_buckets or _default_buckets()),
+            batch_format='pyarrow')
+
+    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        return sessions(group.drop(columns=['_bucket', '_tblock']))
+
+    block_sessions = bucketed.groupby('_bucket').map_groups(
+        per_bucket, batch_format='pandas')
+
+    # Merge pass over SESSION rows (∝ sessions, not events): re-bucket
+    # on the key alone and stitch block-boundary sessions.
+    merged_buckets = block_sessions.map_batches(
         _AddKeyBucket([key_column], num_buckets or _default_buckets()),
         batch_format='pyarrow')
 
-    def per_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        return sessions(group.drop(columns=['_bucket']))
+    def merge_sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop(columns=['_bucket']) \
+            .sort_values([key_column, 'session_start'])
+        keys = g[key_column].to_numpy()
+        starts = g['session_start'].to_numpy()
+        ends = g['session_end'].to_numpy()
+        ns = g['n'].to_numpy(dtype=np.int64)
+        if not len(keys):
+            return g
+        brk = np.empty(len(keys), dtype=bool)
+        brk[0] = True
+        brk[1:] = ((keys[1:] != keys[:-1])
+                   | (starts[1:] - ends[:-1] > gap_us))
+        seg = np.flatnonzero(brk)
+        seg_end = np.concatenate([seg[1:], [len(keys)]])
+        csum = np.concatenate([[0], np.cumsum(ns)])
+        return pd.DataFrame({
+            key_column: keys[seg],
+            'session_start': starts[seg],
+            'session_end': ends[seg_end - 1],
+            'n': csum[seg_end] - csum[seg],
+        })
 
-    return bucketed.groupby('_bucket').map_groups(
-        per_bucket, batch_format='pandas')
+    return merged_buckets.groupby('_bucket').map_groups(
+        merge_sessions, batch_format='pandas')
