@@ -1,0 +1,615 @@
+"""Calibration generator for the conformance slice.
+
+The official JSON-Schema-Test-Suite submodule is empty in this checkout
+(reference: /root/reference/tests/json_schema/utils.py:73-129), so the slice
+in draft{4,6,7,2019}.json is self-authored.  This script grows it safely:
+
+  1. author candidate cases with the OFFICIAL-SUITE verdict we expect from
+     the spec (``valid``);
+  2. run the reference implementation on every case;
+  3. keep only cases where the reference agrees with the spec verdict
+     (the harness asserts engine == reference == ``valid`` on every case);
+  4. print the divergences so genuinely interesting ones can be pinned in
+     tests/test_reference_divergences.py instead.
+
+Run:  python tests/conformance/calibrate.py [--write]
+
+Without --write it only prints the keep/drop report.  With --write it
+appends the surviving groups to the draft JSON files (idempotent: groups
+whose description already exists in the file are skipped).
+"""
+
+import copy
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REFERENCE_PATH = os.environ.get('REFERENCE_PATH', '/root/reference')
+
+DRAFT_URI = {
+    4: 'http://json-schema.org/draft-04/schema',
+    6: 'http://json-schema.org/draft-06/schema',
+    7: 'http://json-schema.org/draft-07/schema',
+    2019: None,
+}
+
+# ---------------------------------------------------------------------------
+# Format probes.  Each entry: format -> [(data, spec_valid), ...].
+# Non-string probes are appended automatically (format ignores non-strings).
+# ---------------------------------------------------------------------------
+
+FORMAT_PROBES = {
+    'date-time': [
+        ('1963-06-19T08:30:06.283185Z', True),
+        ('1963-06-19t08:30:06z', True),               # case-insensitive T/Z
+        ('1963-06-19T08:30:06+05:30', True),
+        ('1963-06-19T08:30:06-08:00', True),
+        ('06/19/1963 08:30:06 PST', False),
+        ('2013-350T01:01:01', False),                 # ordinal date form
+        ('1963-6-19T08:30:06Z', False),               # 1-digit month
+        ('1963-06-1T08:30:06Z', False),               # 1-digit day
+        ('1963-13-19T08:30:06Z', False),              # month 13
+        ('1990-02-31T15:59:59Z', False),              # Feb 31
+        ('1998-12-31T23:59:60Z', True),               # leap second
+        ('1963-06-19T25:30:06Z', False),              # hour 25
+        ('1963-06-19T08:61:06Z', False),              # minute 61
+        ('1963-06-19 08:30:06Z', False),              # space separator
+        ('1963-06-19', False),                        # date only
+        ('', False),
+    ],
+    'email': [
+        ('joe.bloggs@example.com', True),
+        ('2962', False),
+        ('te~st@example.com', True),
+        ('~test@example.com', True),
+        ('test~@example.com', True),
+        ('.test@example.com', False),                 # dot before local part
+        ('test.@example.com', False),                 # dot after local part
+        ('te..st@example.com', False),                # two dots in local part
+        ('a@b.c', True),
+        ('no-at-sign.example.com', False),
+        ('two@@example.com', False),
+        ('', False),
+    ],
+    'hostname': [
+        ('www.example.com', True),
+        ('xn--4gbwdl.xn--wgbh1c', True),
+        ('-a-host-name-that-starts-with--', False),
+        ('not_a_valid_host_name', False),
+        ('a-v-e-r-y-l-o-n-g-h-o-s-t-n-a-m-e', True),
+        ('a' * 63 + '.example', True),
+        ('a' * 64 + '.example', False),               # label > 63 octets
+        ('abc', True),
+        ('hostname-', False),                         # trailing hyphen
+        ('', False),
+    ],
+    'ipv4': [
+        ('192.168.0.1', True),
+        ('127.0.0.0.1', False),
+        ('256.256.256.256', False),
+        ('127.0', False),
+        ('0x7f000001', False),
+        ('1.2.3.4', True),
+        ('087.2.3.4', False),                         # leading zero octet
+        ('1.2.3.4 ', False),                          # trailing space
+        ('1.2.3', False),
+        ('255.255.255.255', True),
+        ('', False),
+    ],
+    'ipv6': [
+        ('::1', True),
+        ('::', True),
+        ('12345::', False),
+        ('abef::', True),
+        ('::abef', True),
+        ('2001:db8::8:800:200c:417a', True),
+        ('1:1:1:1:1:1:1:1:1', False),
+        ('::laptop', False),
+        (':2:3:4:5:6:7:8', False),
+        ('1::2::3', False),
+        ('fe80::1%25eth0', False),                    # zone id not in format
+        ('', False),
+    ],
+    'uri': [
+        ('http://example.com', True),
+        ('ftp://ftp.is.co.za/rfc/rfc1808.txt', True),
+        ('urn:isbn:0451450523', True),
+        ('mailto:John.Doe@example.com', True),
+        ('//foo.bar/?baz=qux#quux', False),           # protocol-relative
+        ('/abc', False),                              # rootless path only
+        ('abc', False),
+        ('http://example com', False),                # space
+        ('', False),
+    ],
+}
+
+FORMAT_PROBES_D6 = {
+    'json-pointer': [
+        ('', True),
+        ('/foo/bar', True),
+        ('/foo/0', True),
+        ('/a~0b', True),                              # escaped tilde
+        ('/a~1b', True),                              # escaped slash
+        ('/foo/~', False),                            # bare tilde
+        ('/~2', False),                               # bad escape
+        ('foo', False),                               # missing leading /
+        ('/ ', True),                                 # space is a fine token
+    ],
+    'uri-reference': [
+        ('/abc', True),
+        ('#frag', True),
+        ('', True),
+        ('abc', True),
+        ('http://example.com/#frag', True),
+        ('\\\\WINDOWS\\fileshare', False),            # backslashes
+        ('abc\\def', False),
+    ],
+    'uri-template': [
+        ('http://example.com/dictionary/{term:1}/{term}', True),
+        ('http://example.com/dictionary/{term:1}/{term', False),
+        ('http://example.com/dictionary', True),
+        ('dictionary/{term:1}/{term}', True),
+        ('', True),
+    ],
+}
+
+FORMAT_PROBES_D7 = {
+    'date': [
+        ('1963-06-19', True),
+        ('06/19/1963', False),
+        ('2021-13-01', False),                        # month 13
+        ('2021-1-01', False),                         # 1-digit month
+        ('2021-01-1', False),                         # 1-digit day
+        ('2021-01-32', False),                        # day 32
+        ('2021-01-00', False),                        # day 0
+        ('1963-06-19T08:30:06Z', False),              # date-time, not date
+        ('', False),
+    ],
+    'time': [
+        ('08:30:06Z', True),
+        ('08:30:06.283185Z', True),
+        ('08:30:06+05:30', True),
+        ('23:59:60Z', True),                          # leap second
+        ('008:030:006', False),
+        ('08:30:06 PST', False),
+        ('1:1:1', False),                             # 1-digit fields
+        ('', False),
+    ],
+    'iri': [
+        ('http://ƒøø.ßår/?∂éœ=πîx#πîüx', True),
+        ('http://example.com', True),
+        ('//ƒøø.ßår', False),                         # protocol-relative
+        ('http://example com', False),
+        ('', False),
+    ],
+    'iri-reference': [
+        ('/âππ', True),
+        ('#ƒrägmênt', True),
+        ('', True),
+        ('\\\\WINDOWS\\filëshare', False),
+    ],
+    'idn-email': [
+        ('квіточка@пошта.укр', True),
+        ('joe.bloggs@example.com', True),
+        ('2962', False),
+        ('no-at-sign', False),
+        ('', False),
+    ],
+    'idn-hostname': [
+        ('實例.測試', True),
+        ('-hello', False),
+        ('hello-', False),
+        ('', False),
+    ],
+    'relative-json-pointer': [
+        ('1', True),
+        ('0#', True),
+        ('1/foo', True),
+        ('120/a/b~0c', True),
+        ('/foo', False),
+        ('-1/foo', False),
+        ('01', False),                                # leading zero
+        ('1#/foo', False),                            # # must be terminal
+        ('', False),
+    ],
+    'regex': [
+        ('([abc])+\\s+$', True),
+        ('^(abc]', False),
+        ('', True),
+        ('a|b', True),
+    ],
+}
+
+NON_STRING_PROBES = [(12, True), (13.7, True), (None, True),
+                     ([], True), ({}, True), (False, True)]
+
+
+def format_groups():
+    """(draft, description, schema, tests) for every format family."""
+    per_draft = {4: dict(FORMAT_PROBES), 6: {}, 7: {}}
+    per_draft[6].update(FORMAT_PROBES)
+    per_draft[6].update(FORMAT_PROBES_D6)
+    per_draft[7].update(FORMAT_PROBES)
+    per_draft[7].update(FORMAT_PROBES_D6)
+    per_draft[7].update(FORMAT_PROBES_D7)
+    out = []
+    for draft, table in sorted(per_draft.items()):
+        for fmt, probes in sorted(table.items()):
+            tests = [{'description': 'probe %r' % (data,),
+                      'data': data, 'valid': valid}
+                     for data, valid in probes]
+            # typed variant: non-strings fail the type gate, not the format
+            typed = tests + [
+                {'description': 'non-string %r fails type' % (data,),
+                 'data': data, 'valid': False}
+                for data, _ in NON_STRING_PROBES]
+            out.append((draft, 'format %s (r5 cal)' % fmt,
+                        {'type': 'string', 'format': fmt}, typed))
+            # bare variant: format ignores non-strings entirely
+            bare = copy.deepcopy(tests) + [
+                {'description': 'non-string %r ignored' % (data,),
+                 'data': data, 'valid': True}
+                for data, _ in NON_STRING_PROBES]
+            out.append((draft, 'format %s bare (r5 cal)' % fmt,
+                        {'format': fmt}, bare))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Core-keyword edge groups.  Each entry: (drafts, description, schema, tests)
+# ---------------------------------------------------------------------------
+
+def T(desc, data, valid):
+    return {'description': desc, 'data': data, 'valid': valid}
+
+
+CORE_GROUPS = [
+    ((4, 6, 7), 'multipleOf small float (r5 cal)',
+     {'multipleOf': 0.0001},
+     [T('0.0075 is multiple', 0.0075, True),
+      T('0.00751 is not', 0.00751, False),
+      T('1 is multiple', 1, True),
+      T('string ignored', '0.0005', True)]),
+    ((4, 6, 7), 'multipleOf int on floats (r5 cal)',
+     {'multipleOf': 2},
+     [T('4.0 is multiple', 4.0, True),
+      T('5.0 is not', 5.0, False),
+      T('-4 is multiple', -4, True),
+      T('0 is multiple', 0, True)]),
+    ((4,), 'minimum exclusiveMinimum bool form (r5 cal)',
+     {'minimum': 1.1, 'exclusiveMinimum': True},
+     [T('above', 1.2, True),
+      T('boundary excluded', 1.1, False),
+      T('below', 0.6, False),
+      T('ignores non-numbers', 'x', True)]),
+    ((4,), 'maximum exclusiveMaximum bool form (r5 cal)',
+     {'maximum': 3.0, 'exclusiveMaximum': True},
+     [T('below', 2.2, True),
+      T('boundary excluded', 3.0, False),
+      T('above', 3.5, False)]),
+    ((6, 7), 'exclusiveMinimum numeric form (r5 cal)',
+     {'exclusiveMinimum': 1.1},
+     [T('above', 1.2, True),
+      T('boundary excluded', 1.1, False),
+      T('below', 0.6, False),
+      T('ignores non-numbers', 'x', True)]),
+    ((6, 7), 'exclusiveMaximum numeric form (r5 cal)',
+     {'exclusiveMaximum': 3.0},
+     [T('below', 2.2, True),
+      T('boundary excluded', 3.0, False),
+      T('above', 3.5, False)]),
+    ((4, 6, 7), 'minimum maximum boundaries inclusive (r5 cal)',
+     {'minimum': -2, 'maximum': 2},
+     [T('lower boundary', -2, True),
+      T('upper boundary', 2, True),
+      T('lower boundary float', -2.0, True),
+      T('below', -2.1, False),
+      T('above', 2.1, False),
+      T('int above', 3, False)]),
+    ((4, 6, 7), 'minLength maxLength astral codepoints (r5 cal)',
+     {'minLength': 2, 'maxLength': 3},
+     [T('two astral chars count 2', '\U0001d11e\U0001d11e', True),
+      T('one astral char counts 1', '\U0001d11e', False),
+      T('four chars too long', '\U0001d11eabc', False),
+      T('three chars ok', 'aß\U0001d11e', True),
+      T('non-string ignored', 1, True)]),
+    ((4, 6, 7), 'pattern unanchored (r5 cal)',
+     {'pattern': 'a+'},
+     [T('substring match', 'xaay', True),
+      T('no match', 'xyz', False),
+      T('anchors are not implicit', 'bbba', True),
+      T('non-string ignored', True, True)]),
+    ((4, 6, 7), 'pattern anchored empty (r5 cal)',
+     {'pattern': '^a*$'},
+     [T('empty matches', '', True),
+      T('all a', 'aaa', True),
+      T('other char', 'ab', False)]),
+    ((4, 6, 7), 'required unicode property names (r5 cal)',
+     {'required': ['åäö', 'normal']},
+     [T('both present', {'åäö': 1, 'normal': 2}, True),
+      T('unicode key missing', {'normal': 2}, False),
+      T('non-object ignored', [1, 2], True)]),
+    ((4, 6, 7), 'properties patternProperties additionalProperties (r5 cal)',
+     {'properties': {'foo': {'type': 'array', 'maxItems': 3},
+                     'bar': {'type': 'array'}},
+      'patternProperties': {'f.o': {'minItems': 2}},
+      'additionalProperties': {'type': 'integer'}},
+     [T('property validates property', {'foo': [1, 2]}, True),
+      T('property invalidates property', {'foo': [1, 2, 3, 4]}, False),
+      T('patternProperty invalidates property', {'foo': []}, False),
+      T('patternProperty validates nonproperty', {'fxo': [1, 2]}, True),
+      T('patternProperty invalidates nonproperty', {'fxo': []}, False),
+      T('additionalProperty ignores patternProperty match', {'fxo': []},
+        False),
+      T('additionalProperty validates others', {'quux': 3}, True),
+      T('additionalProperty invalidates others', {'quux': 'foo'}, False)]),
+    ((4, 6, 7), 'additionalProperties false with patternProperties (r5 cal)',
+     {'patternProperties': {'^v': {}}, 'additionalProperties': False},
+     [T('pattern-matched allowed', {'vroom': 1}, True),
+      T('unmatched rejected', {'broom': 1}, False),
+      T('empty object ok', {}, True)]),
+    ((4, 6, 7), 'items tuple with additionalItems schema (r5 cal)',
+     {'items': [{'type': 'integer'}, {'type': 'string'}],
+      'additionalItems': {'type': 'boolean'}},
+     [T('prefix only', [1, 'a'], True),
+      T('extra matching', [1, 'a', True, False], True),
+      T('extra mismatching', [1, 'a', 2], False),
+      T('shorter than prefix', [1], True),
+      T('wrong prefix type', ['a', 1], False)]),
+    ((4, 6, 7), 'items tuple additionalItems false (r5 cal)',
+     {'items': [{}, {}], 'additionalItems': False},
+     [T('exact length', [1, 2], True),
+      T('too long', [1, 2, 3], False),
+      T('shorter ok', [1], True),
+      T('empty ok', [], True)]),
+    ((4, 6, 7), 'uniqueItems objects and arrays (r5 cal)',
+     {'uniqueItems': True},
+     [T('equal objects', [{'a': 1}, {'a': 1}], False),
+      T('key-order-insensitive objects', [{'a': 1, 'b': 2},
+                                          {'b': 2, 'a': 1}], False),
+      T('different objects', [{'a': 1}, {'a': 2}], True),
+      T('nested arrays equal', [[1, 2], [1, 2]], False),
+      T('string vs object', ['{}', {}], True),
+      T('empty array', [], True),
+      T('deep nesting unique', [[[1], 'foo'], [[2], 'foo']], True)]),
+    ((4, 6, 7), 'allOf nested with base keywords (r5 cal)',
+     {'allOf': [{'multipleOf': 2}], 'minimum': 5},
+     [T('both pass', 6, True),
+      T('allOf fails', 7, False),
+      T('base fails', 4, False),
+      T('both fail', 3, False)]),
+    ((4, 6, 7), 'oneOf exactly one (r5 cal)',
+     {'oneOf': [{'type': 'integer'}, {'minimum': 2}]},
+     [T('first only', 1, True),
+      T('second only', 2.5, True),
+      T('both match', 3, False),
+      T('neither', 1.5, False)]),
+    ((4, 6, 7), 'anyOf with nested anyOf (r5 cal)',
+     {'anyOf': [{'anyOf': [{'type': 'null'}]}, {'type': 'string'}]},
+     [T('null via nesting', None, True),
+      T('string via outer', 'x', True),
+      T('number fails both', 3, False)]),
+    ((4, 6, 7), 'not multiple types (r5 cal)',
+     {'not': {'type': ['integer', 'boolean']}},
+     [T('string allowed', 'foo', True),
+      T('integer rejected', 1, False),
+      T('boolean rejected', True, False),
+      T('float allowed', 1.5, True)]),
+    ((4, 6, 7), 'dependencies array form (r5 cal)',
+     {'dependencies': {'bar': ['foo']}},
+     [T('neither', {}, True),
+      T('nondependant alone', {'foo': 1}, True),
+      T('with dependency', {'foo': 1, 'bar': 2}, True),
+      T('missing dependency', {'bar': 2}, False),
+      T('ignores arrays', ['bar'], True),
+      T('ignores strings', 'foobar', True)]),
+    ((4, 6, 7), 'dependencies schema form (r5 cal)',
+     {'dependencies': {'bar': {'properties': {'foo': {'type': 'integer'}}}}},
+     [T('valid dependent', {'foo': 1, 'bar': 2}, True),
+      T('invalid dependent', {'foo': 'quux', 'bar': 2}, False),
+      T('absent trigger', {'foo': 'quux'}, True)]),
+    ((4, 6, 7), 'nested ref chain through definitions (r5 cal)',
+     {'definitions': {'a': {'$ref': '#/definitions/b'},
+                      'b': {'$ref': '#/definitions/c'},
+                      'c': {'type': 'integer'}},
+      'properties': {'x': {'$ref': '#/definitions/a'}}},
+     [T('resolves through chain', {'x': 1}, True),
+      T('violation at chain end', {'x': 'no'}, False)]),
+    ((4, 6, 7), 'ref with tilde and slash escapes (r5 cal)',
+     {'definitions': {'tilde~field': {'type': 'integer'},
+                      'slash/field': {'type': 'string'}},
+      'properties': {'t': {'$ref': '#/definitions/tilde~0field'},
+                     's': {'$ref': '#/definitions/slash~1field'}}},
+     [T('both resolve', {'t': 1, 's': 'a'}, True),
+      T('tilde target violated', {'t': 'x'}, False),
+      T('slash target violated', {'s': 9}, False)]),
+    ((4, 6, 7), 'ref into properties subschema (r5 cal)',
+     {'properties': {'foo': {'type': 'integer'},
+                      'bar': {'$ref': '#/properties/foo'}}},
+     [T('mirror valid', {'foo': 1, 'bar': 2}, True),
+      T('mirror invalid', {'bar': 'x'}, False)]),
+    ((4, 6, 7), 'minProperties maxProperties zero edges (r5 cal)',
+     {'minProperties': 0, 'maxProperties': 1},
+     [T('empty ok', {}, True),
+      T('one ok', {'a': 1}, True),
+      T('two too many', {'a': 1, 'b': 2}, False),
+      T('array ignored', [1, 2, 3], True)]),
+    ((6, 7), 'contains with minimum (r5 cal)',
+     {'contains': {'minimum': 5}},
+     [T('one qualifying', [3, 4, 5], True),
+      T('all qualifying', [6, 7, 8], True),
+      T('none qualifying', [1, 2, 3], False),
+      T('empty array', [], False),
+      T('non-array ignored', {}, True)]),
+    ((6, 7), 'propertyNames maxLength (r5 cal)',
+     {'propertyNames': {'maxLength': 3}},
+     [T('short names', {'f': 1, 'foo': 2}, True),
+      T('long name', {'fooo': 1}, False),
+      T('empty object', {}, True),
+      T('non-object ignored', [1, 2, 3, 4], True)]),
+    ((6, 7), 'const object key order (r5 cal)',
+     {'const': {'a': 1, 'b': 2}},
+     [T('same order', {'a': 1, 'b': 2}, True),
+      T('reordered', {'b': 2, 'a': 1}, True),
+      T('extra key', {'a': 1, 'b': 2, 'c': 3}, False),
+      T('other value', 5, False)]),
+    ((6, 7), 'const float int equality (r5 cal)',
+     {'const': 2},
+     [T('int matches', 2, True),
+      T('float 2.0 matches', 2.0, True),
+      T('2.5 does not', 2.5, False),
+      T('string does not', '2', False)]),
+    ((6, 7), 'boolean schema false in properties (r5 cal)',
+     {'properties': {'foo': False}},
+     [T('foo present fails', {'foo': 1}, False),
+      T('foo absent ok', {'bar': 1}, True),
+      T('empty ok', {}, True)]),
+    ((6, 7), 'boolean schema true in items (r5 cal)',
+     {'items': True},
+     [T('any array ok', [1, 'x', None], True),
+      T('empty ok', [], True)]),
+    ((6, 7), 'items false (r5 cal)',
+     {'items': False},
+     [T('empty array ok', [], True),
+      T('nonempty fails', [1], False),
+      T('non-array ignored', 'ab', True)]),
+    ((6, 7), 'required empty array (r5 cal)',
+     {'required': []},
+     [T('empty object ok', {}, True),
+      T('any object ok', {'a': 1}, True)]),
+    ((7,), 'if then else full (r5 cal)',
+     {'if': {'exclusiveMaximum': 0},
+      'then': {'minimum': -10},
+      'else': {'multipleOf': 2}},
+     [T('then valid', -1, True),
+      T('then invalid', -100, False),
+      T('else valid', 4, True),
+      T('else invalid', 3, False)]),
+    ((7,), 'if without then else ignored (r5 cal)',
+     {'if': {'const': 0}},
+     [T('matching', 0, True),
+      T('nonmatching', 'hello', True)]),
+    ((7,), 'then without if ignored (r5 cal)',
+     {'then': {'const': 0}},
+     [T('anything ok', 'x', True)]),
+    ((7,), 'if then chained in allOf (r5 cal)',
+     {'allOf': [{'if': {'minimum': 10}, 'then': {'multipleOf': 5}},
+                {'if': {'minimum': 100}, 'then': {'multipleOf': 20}}]},
+     [T('small number unconstrained', 3, True),
+      T('mid number needs 5', 15, True),
+      T('mid number not mult 5', 12, False),
+      T('big number needs both', 200, True),
+      T('big number mult 5 not 20', 105, False)]),
+    ((4, 6, 7), 'deeply nested structure (r5 cal)',
+     {'properties': {
+         'a': {'items': {'properties': {
+             'b': {'items': [{'properties': {
+                 'c': {'type': 'integer'}}}]}}}}}},
+     [T('valid deep', {'a': [{'b': [{'c': 1}]}]}, True),
+      T('invalid deep', {'a': [{'b': [{'c': 'x'}]}]}, False),
+      T('short-circuit empty', {'a': []}, True)]),
+    ((4, 6, 7), 'enum heterogeneous (r5 cal)',
+     {'enum': [6, 'foo', [], {'foo': 12}]},
+     [T('int member', 6, True),
+      T('string member', 'foo', True),
+      T('array member', [], True),
+      T('object member', {'foo': 12}, True),
+      T('object non-member', {'foo': 13}, False),
+      T('non-member', 7, False)]),
+    ((4, 6, 7), 'type union with keywords (r5 cal)',
+     {'type': ['integer', 'string'], 'minimum': 3, 'minLength': 2},
+     [T('integer passing minimum', 5, True),
+      T('integer failing minimum', 2, False),
+      T('string passing minLength', 'ab', True),
+      T('string failing minLength', 'a', False),
+      T('other type', [], False)]),
+]
+
+
+def iter_candidates():
+    for draft, desc, schema, tests in format_groups():
+        yield draft, desc, schema, tests
+    for drafts, desc, schema, tests in CORE_GROUPS:
+        for draft in drafts:
+            yield draft, desc, schema, copy.deepcopy(tests)
+
+
+def reference_module():
+    if REFERENCE_PATH not in sys.path:
+        sys.path.insert(0, REFERENCE_PATH)
+    import fastjsonschema
+    return fastjsonschema
+
+
+def calibrate():
+    ref = reference_module()
+    kept = {4: [], 6: [], 7: [], 2019: []}
+    dropped = []
+    for draft, desc, schema, tests in iter_candidates():
+        schema_d = copy.deepcopy(schema)
+        if isinstance(schema_d, dict) and DRAFT_URI[draft]:
+            schema_d.setdefault('$schema', DRAFT_URI[draft])
+        try:
+            validate = ref.compile(copy.deepcopy(schema_d))
+        except Exception as exc:                       # noqa: BLE001
+            dropped.append((draft, desc, '<compile>', repr(exc)))
+            continue
+        surviving = []
+        for t in tests:
+            try:
+                validate(copy.deepcopy(t['data']))
+                got = True
+            except ref.JsonSchemaValueException:
+                got = False
+            except Exception as exc:                   # noqa: BLE001
+                dropped.append((draft, desc, t['description'],
+                                'crash ' + repr(exc)))
+                continue
+            if got == t['valid']:
+                surviving.append(t)
+            else:
+                dropped.append((draft, desc, t['description'],
+                                'spec %s ref %s' % (t['valid'], got)))
+        if surviving:
+            kept[draft].append({'description': desc, 'schema': schema,
+                                'tests': surviving})
+    return kept, dropped
+
+
+def write(kept):
+    total = 0
+    for draft, groups in kept.items():
+        if not groups:
+            continue
+        path = os.path.join(HERE, 'draft%s.json' % draft)
+        with open(path) as f:
+            existing = json.load(f)
+        have = {g['description'] for g in existing}
+        new = [g for g in groups if g['description'] not in have]
+        if not new:
+            continue
+        existing.extend(new)
+        with open(path, 'w') as f:
+            json.dump(existing, f, indent=1, ensure_ascii=False)
+            f.write('\n')
+        n = sum(len(g['tests']) for g in new)
+        total += n
+        print('draft%s: +%d groups, +%d cases' % (draft, len(new), n))
+    print('total new cases: %d' % total)
+
+
+def main():
+    kept, dropped = calibrate()
+    n_keep = sum(len(g['tests']) for gs in kept.values() for g in gs)
+    print('kept %d cases across %d groups' %
+          (n_keep, sum(len(gs) for gs in kept.values())))
+    print('dropped %d divergent/crashing cases:' % len(dropped))
+    for draft, desc, case, why in dropped:
+        print('  draft%s | %s | %s | %s' % (draft, desc, case, why))
+    if '--write' in sys.argv:
+        write(kept)
+
+
+if __name__ == '__main__':
+    main()

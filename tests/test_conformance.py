@@ -89,17 +89,38 @@ def test_conformance_scalar(reference, draft, group):
             'official-suite verdict mismatch at ' + ctx)
 
 
+def _rebase_refs(schema):
+    """Deep-copy ``schema`` rewriting internal root pointers
+    (``#/...`` and bare ``#``) to resolve under the test wrapper's
+    ``/properties/col`` mount point, so the case's own pointer topology
+    (refs into definitions, properties, items, ...) survives the wrap.
+    ``enum``/``const`` values are data, not schema — left untouched."""
+    def walk(node):
+        if isinstance(node, list):
+            return [walk(v) for v in node]
+        if not isinstance(node, dict):
+            return copy.deepcopy(node)
+        out = {}
+        for k, v in node.items():
+            if k in ('enum', 'const'):
+                out[k] = copy.deepcopy(v)
+            elif k == '$ref' and isinstance(v, str) and v.startswith('#') \
+                    and (len(v) == 1 or v[1] == '/'):
+                out[k] = '#/properties/col' + v[1:]
+            else:
+                out[k] = walk(v)
+        return out
+    return walk(schema)
+
+
 @pytest.mark.parametrize('draft,group', _params())
 def test_conformance_vector(reference, draft, group):
     """Same corpus through the vectorized table path: the case schema
     becomes a one-column sub-schema so every keyword runs its Arrow
     kernel (or its documented scalar-fallback node)."""
-    wrapped = {'properties': {'col': copy.deepcopy(group['schema'])}}
+    wrapped = {'properties': {'col': _rebase_refs(group['schema'])}}
     if DRAFT_URI[draft] is not None:
         wrapped['$schema'] = DRAFT_URI[draft]
-    if isinstance(group['schema'], dict) and 'definitions' in group['schema']:
-        # '#/definitions/...' pointers resolve against the wrapper root.
-        wrapped['definitions'] = copy.deepcopy(group['schema']['definitions'])
     covered = 0
     for t in group['tests']:
         try:

@@ -55,6 +55,12 @@ CASES = [
      True, False, True),
     ('datetime-lowercase-t-z', D7,
      {'format': 'date-time'}, '1998-12-31t23:59:59z', True, True, True),
+    ('datetime-month-13', D7,
+     {'format': 'date-time'}, '1963-13-19T08:30:06Z', True, False, True),
+    ('datetime-hour-25', D7,
+     {'format': 'date-time'}, '1963-06-19T25:30:06Z', True, False, True),
+    ('datetime-leap-second', D7,
+     {'format': 'date-time'}, '1998-12-31T23:59:60Z', False, True, True),
     ('date-feb-30', D7,
      {'format': 'date'}, '2021-02-30', True, False, True),
     ('time-leap-second-zulu', D7,
@@ -63,9 +69,13 @@ CASES = [
      {'format': 'time'}, '12:00:60+01:00', True, False, True),
     ('time-missing-offset', D7,
      {'format': 'time'}, '08:30:06', True, False, True),
+    ('time-one-digit-fields', D7,
+     {'format': 'time'}, '1:1:1', True, False, True),
     # -- idn-hostname.json / iri.json -----------------------------------
     ('idn-hostname-illegal-first-char', D7,
      {'format': 'idn-hostname'}, '〮〯', False, False, True),
+    ('idn-hostname-valid-unicode-rejected', D7,
+     {'format': 'idn-hostname'}, '實例.測試', False, True, True),
     ('iri-invalid-host', D7,
      {'format': 'iri'}, 'http://2001:0db8::1/', True, False, True),
     # -- unknownKeyword.json: $id inside an unknown keyword -------------
