@@ -184,6 +184,9 @@ def test_conformance_remote_scalar(reference, group):
 def test_conformance_remote_vector(reference, group):
     """Remote-ref corpus through the vectorized table path (one-column
     wrap; the remote documents resolve via the same handlers)."""
+    if not group.get('vector', True):
+        pytest.skip('root-$id shape: the wrap changes resolution scope '
+                    '(both engines reject it identically)')
     schema = group['schema']
     wrapped = {'properties': {'col': copy.deepcopy(schema)}}
     if DRAFT_URI[group['draft']] is not None:
