@@ -221,18 +221,45 @@ FORMAT_PROBES_D7 = {
     ],
 }
 
+FORMAT_PROBES_D2019 = {
+    'uuid': [
+        ('2EB8AA08-AA98-11EA-B4AA-73B441D16380', True),
+        ('2eb8aa08-aa98-11ea-b4aa-73b441d16380', True),
+        ('2eb8aa08-AA98-11ea-B4Aa-73B441D16380', True),   # mixed case
+        ('2eb8aa08-aa98-11ea-73b441d16380', False),       # too few fields
+        ('2eb8aa08-aa98-11ea-b4ga-73b441d16380', False),  # non-hex char
+        ('2eb8aa08aa9811eab4aa73b441d16380', False),      # no dashes
+        ('98d80576-482e-427f-8434-7f86890ab222', True),
+        ('', False),
+    ],
+    'duration': [
+        ('P4DT12H30M5S', True),
+        ('PT1D', False),                                  # D after T
+        ('P', False),                                     # no units
+        ('P2W', True),                                    # weeks form
+        ('P1Y2M3W', False),                               # W mixes with Y/M
+        ('PT0S', True),
+        ('P0D', True),
+        ('PT1H30M', True),
+        ('4DT12H', False),                                # missing P
+        ('', False),
+    ],
+}
+
 NON_STRING_PROBES = [(12, True), (13.7, True), (None, True),
                      ([], True), ({}, True), (False, True)]
 
 
 def format_groups():
     """(draft, description, schema, tests) for every format family."""
-    per_draft = {4: dict(FORMAT_PROBES), 6: {}, 7: {}}
+    per_draft = {4: dict(FORMAT_PROBES), 6: {}, 7: {}, 2019: {}}
     per_draft[6].update(FORMAT_PROBES)
     per_draft[6].update(FORMAT_PROBES_D6)
     per_draft[7].update(FORMAT_PROBES)
     per_draft[7].update(FORMAT_PROBES_D6)
     per_draft[7].update(FORMAT_PROBES_D7)
+    per_draft[2019].update(per_draft[7])
+    per_draft[2019].update(FORMAT_PROBES_D2019)
     out = []
     for draft, table in sorted(per_draft.items()):
         for fmt, probes in sorted(table.items()):
@@ -533,6 +560,11 @@ def iter_candidates():
     for drafts, desc, schema, tests in CORE_GROUPS:
         for draft in drafts:
             yield draft, desc, schema, copy.deepcopy(tests)
+        if 7 in drafts:
+            # bare-schema default dialect (2019): draft-7 keyword
+            # semantics carry over for everything in this corpus; the
+            # calibration pass drops any case where they don't.
+            yield 2019, desc, schema, copy.deepcopy(tests)
 
 
 def reference_module():
