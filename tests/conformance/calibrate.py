@@ -544,6 +544,67 @@ CORE_GROUPS = [
       T('object member', {'foo': 12}, True),
       T('object non-member', {'foo': 13}, False),
       T('non-member', 7, False)]),
+    ((7,), 'contentMediaType application json (r5 cal)',
+     {'contentMediaType': 'application/json'},
+     [T('valid json document', '{"foo": "bar"}', True),
+      T('invalid json document', '{:}', False),
+      T('empty string not json', '', False),
+      T('non-string ignored', 100, True)]),
+    ((7,), 'contentEncoding with mediaType combined (r5 cal)',
+     {'contentEncoding': 'base64', 'contentMediaType': 'application/json'},
+     [T('base64 json', 'eyJmb28iOiAiYmFyIn0=', True),
+      T('base64 non-json', 'aGVsbG8=', False),
+      T('non-string ignored', 100, True)]),
+    ((4, 6, 7), 'annotation keywords are inert (r5 cal)',
+     {'title': 'a title', 'description': 'words', '$comment': 'note',
+      'examples': [1, 'x'], 'readOnly': True},
+     [T('number ok', 12, True),
+      T('string ok', 'y', True),
+      T('object ok', {'a': 1}, True)]),
+    ((4, 6, 7), 'additionalProperties does not see allOf (r5 cal)',
+     {'allOf': [{'properties': {'foo': {}}}],
+      'properties': {'bar': {}},
+      'additionalProperties': False},
+     [T('own property ok', {'bar': 1}, True),
+      T('allOf property is additional at root', {'foo': 1}, False),
+      T('empty ok', {}, True)]),
+    ((4, 6, 7), 'double negation (r5 cal)',
+     {'not': {'not': {'type': 'integer'}}},
+     [T('integer ok', 1, True),
+      T('string rejected', 'a', False)]),
+    ((4, 6, 7), 'maxLength zero (r5 cal)',
+     {'maxLength': 0},
+     [T('empty string ok', '', True),
+      T('one char too long', 'a', False),
+      T('astral char too long', '\U0001d11e', False)]),
+    ((4, 6, 7), 'uniqueItems false allows duplicates (r5 cal)',
+     {'uniqueItems': False},
+     [T('duplicates ok', [1, 1, 1], True),
+      T('unique ok', [1, 2], True)]),
+    ((6, 7), 'propertyNames false (r5 cal)',
+     {'propertyNames': False},
+     [T('empty object ok', {}, True),
+      T('any property fails', {'a': 1}, False)]),
+    ((6, 7), 'contains boolean true schema (r5 cal)',
+     {'contains': True},
+     [T('nonempty ok', ['x'], True),
+      T('empty fails', [], False)]),
+    ((4, 6, 7), 'recursive ref linked list (r5 cal)',
+     {'$ref': '#/definitions/node',
+      'definitions': {'node': {
+          'properties': {'next': {'$ref': '#/definitions/node'},
+                         'v': {'type': 'integer'}}}}},
+     [T('depth 3 valid', {'v': 1, 'next': {'v': 2, 'next': {'v': 3}}}, True),
+      T('violation at depth 3', {'v': 1, 'next': {'v': 2,
+                                                  'next': {'v': 'x'}}},
+        False),
+      T('empty node ok', {}, True)]),
+    ((4, 6, 7), 'oneOf discriminated by required (r5 cal)',
+     {'oneOf': [{'required': ['a']}, {'required': ['b']}]},
+     [T('first arm', {'a': 1}, True),
+      T('second arm', {'b': 1}, True),
+      T('both arms match', {'a': 1, 'b': 2}, False),
+      T('neither arm', {'c': 1}, False)]),
     ((4, 6, 7), 'type union with keywords (r5 cal)',
      {'type': ['integer', 'string'], 'minimum': 3, 'minLength': 2},
      [T('integer passing minimum', 5, True),
