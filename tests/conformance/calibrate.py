@@ -615,10 +615,281 @@ CORE_GROUPS = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Batch 4 (round 5): thin areas vs the official suite — $ref edge shapes,
+# the type matrix, patternProperties, items/additionalItems interplay,
+# bignum/precision, enum/const escapes, boolean-schema applicators.
+# ---------------------------------------------------------------------------
+
+CORE_GROUPS_B4 = [
+    ((4, 6, 7), 'property named $ref is not a reference (r5 cal b4)',
+     {'properties': {'$ref': {'type': 'string'}}},
+     [T('property named $ref valid', {'$ref': 'a'}, True),
+      T('property named $ref invalid', {'$ref': 2}, False),
+      T('absent ok', {}, True)]),
+    ((4, 6, 7), 'property named $ref containing an actual $ref (r5 cal b4)',
+     {'properties': {'$ref': {'$ref': '#/definitions/is-string'}},
+      'definitions': {'is-string': {'type': 'string'}}},
+     [T('slash ref resolves', {'$ref': 'a'}, True),
+      T('violation through ref', {'$ref': 2}, False)]),
+    ((4, 6, 7), 'root pointer ref (r5 cal b4)',
+     {'properties': {'foo': {'$ref': '#'}},
+      'additionalProperties': False},
+     [T('match', {'foo': False}, True),
+      T('recursive match', {'foo': {'foo': False}}, True),
+      T('mismatch', {'bar': False}, False),
+      T('recursive mismatch', {'foo': {'bar': False}}, False)]),
+    ((6, 7), 'ref to boolean schema false (r5 cal b4)',
+     {'$ref': '#/definitions/bool', 'definitions': {'bool': False}},
+     [T('any value is invalid', 'foo', False),
+      T('object is invalid', {}, False)]),
+    ((6, 7), 'ref to boolean schema true (r5 cal b4)',
+     {'$ref': '#/definitions/bool', 'definitions': {'bool': True}},
+     [T('any value is valid', 'foo', True)]),
+    ((4, 6, 7), 'naive ref replacement is not correct (r5 cal b4)',
+     {'definitions': {'a_string': {'type': 'string'}},
+      'enum': [{'$ref': '#/definitions/a_string'}]},
+     [T('do not evaluate the $ref inside the enum, matching any string',
+        'this is a string', False),
+      T('do not evaluate the $ref inside the enum, definition exact match',
+        {'type': 'string'}, False),
+      T('match the enum exactly', {'$ref': '#/definitions/a_string'}, True)]),
+    ((4, 6, 7), 'ref into tuple items element (r5 cal b4)',
+     {'items': [{'type': 'integer'}, {'$ref': '#/items/0'}]},
+     [T('both match', [1, 2], True),
+      T('second violates reffed first', [1, 'x'], False),
+      T('first violates', ['x', 1], False)]),
+    ((4, 6, 7), 'refs with quote in definition name (r5 cal b4)',
+     {'properties': {'foo"bar': {'$ref': '#/definitions/foo%22bar'}},
+      'definitions': {'foo"bar': {'type': 'number'}}},
+     [T('object with numbers is valid', {'foo"bar': 1}, True),
+      T('object with strings is invalid', {'foo"bar': 'x'}, False)]),
+    ((4, 6, 7), 'infinite-loop shape: allOf ref + additionalProperties ref '
+                '(r5 cal b4)',
+     {'definitions': {'int': {'type': 'integer'}},
+      'allOf': [{'properties': {'foo': {'$ref': '#/definitions/int'}}},
+                {'additionalProperties': {'$ref': '#/definitions/int'}}]},
+     [T('passing case', {'foo': 1}, True),
+      T('failing case', {'foo': 'a string'}, False)]),
+    ((4, 6, 7), 'type integer matrix (r5 cal b4)',
+     {'type': 'integer'},
+     [T('an integer', 1, True),
+      T('a float with zero fractional part', 1.0, True),
+      T('a float', 1.1, False),
+      T('a string', 'foo', False),
+      T('a numeric string', '1', False),
+      T('an object', {}, False),
+      T('an array', [], False),
+      T('a boolean', True, False),
+      T('null', None, False)]),
+    ((4, 6, 7), 'type number matrix (r5 cal b4)',
+     {'type': 'number'},
+     [T('an integer is a number', 1, True),
+      T('a float', 1.1, True),
+      T('a float with zero fractional part', 1.0, True),
+      T('a string', 'foo', False),
+      T('a boolean is not a number', True, False),
+      T('null', None, False)]),
+    ((4, 6, 7), 'type boolean matrix (r5 cal b4)',
+     {'type': 'boolean'},
+     [T('true', True, True),
+      T('false', False, True),
+      T('zero is not boolean', 0, False),
+      T('one is not boolean', 1, False),
+      T('empty string', '', False),
+      T('null', None, False)]),
+    ((4, 6, 7), 'type null matrix (r5 cal b4)',
+     {'type': 'null'},
+     [T('null', None, True),
+      T('zero', 0, False),
+      T('false', False, False),
+      T('empty string', '', False),
+      T('empty object', {}, False)]),
+    ((4, 6, 7), 'type object and array matrix (r5 cal b4)',
+     {'properties': {'o': {'type': 'object'}, 'a': {'type': 'array'}}},
+     [T('object ok', {'o': {}}, True),
+      T('array is not object', {'o': []}, False),
+      T('array ok', {'a': []}, True),
+      T('object is not array', {'a': {}}, False),
+      T('string is neither', {'o': 'x'}, False)]),
+    ((4, 6, 7), 'type as single-element array (r5 cal b4)',
+     {'type': ['string']},
+     [T('string ok', 'foo', True),
+      T('number rejected', 1, False)]),
+    ((4, 6, 7), 'patternProperties case sensitive (r5 cal b4)',
+     {'patternProperties': {'[0-9]{2,}': {'type': 'boolean'},
+                            'X_': {'type': 'string'}}},
+     [T('non recognized members are ignored', {'answer 1': '42'}, True),
+      T('recognized members are accounted for', {'a31b': None}, False),
+      T('regexes are case sensitive', {'a_x_3': 3}, True),
+      T('regexes are case sensitive 2', {'a_X_3': 3}, False)]),
+    ((4, 6, 7), 'patternProperties multiple simultaneous (r5 cal b4)',
+     {'patternProperties': {'a*': {'type': 'integer'},
+                            'aaa*': {'maximum': 20}}},
+     [T('single valid', {'a': 21}, True),
+      T('simultaneous valid', {'aaaa': 18}, True),
+      T('multiple valid', {'a': 21, 'aaaa': 18}, True),
+      T('invalid one pattern', {'a': 'bar'}, False),
+      T('invalid other pattern', {'aaaa': 31}, False),
+      T('invalid both', {'aaa': 'foo', 'aaaa': 31}, False)]),
+    ((6, 7), 'patternProperties with boolean schemas (r5 cal b4)',
+     {'patternProperties': {'f.*': True, 'b.*': False}},
+     [T('object with f property ok', {'foo': 1}, True),
+      T('object with b property fails', {'bar': 1}, False),
+      T('object with both fails', {'foo': 1, 'bar': 2}, False),
+      T('empty object ok', {}, True)]),
+    ((4, 6, 7), 'patternProperties null valued properties (r5 cal b4)',
+     {'patternProperties': {'^.*bar$': {'type': 'null'}}},
+     [T('null matching pattern ok', {'foobar': None}, True),
+      T('non-null matching pattern fails', {'foobar': 1}, False)]),
+    ((4, 6, 7), 'items and subitems nested tuples (r5 cal b4)',
+     {'definitions': {
+          'item': {'type': 'array',
+                   'items': [{'type': 'integer'}, {'type': 'integer'}],
+                   'additionalItems': False}},
+      'type': 'array',
+      'items': [{'$ref': '#/definitions/item'},
+                {'$ref': '#/definitions/item'}],
+      'additionalItems': False},
+     [T('valid nested', [[1, 2], [3, 4]], True),
+      T('too many outer', [[1, 2], [3, 4], [5, 6]], False),
+      T('too many inner', [[1, 2, 3], [4, 5]], False),
+      T('wrong inner type', [[1, 'x'], [3, 4]], False),
+      T('fewer ok', [[1, 2]], True)]),
+    ((4, 6, 7), 'additionalItems false without items (r5 cal b4)',
+     {'additionalItems': False},
+     [T('all items allowed', [1, 2, 3, 4, 5], True),
+      T('ignores non-arrays', {'foo': 'bar'}, True)]),
+    ((4, 6, 7), 'additionalItems does not look in applicators (r5 cal b4)',
+     {'allOf': [{'items': [{'type': 'integer'}]}],
+      'additionalItems': {'type': 'boolean'}},
+     [T('items defined in allOf are not examined',
+        [1, None], True)]),
+    ((4, 6, 7), 'items with null instance elements (r5 cal b4)',
+     {'items': {'type': 'null'}},
+     [T('allows null elements', [None, None], True),
+      T('rejects non-null', [None, 1], False)]),
+    ((4, 6, 7), 'bignum integer comparisons (r5 cal b4)',
+     {'properties': {
+          'below_max': {'maximum': 18446744073709551615},
+          'above_min': {'minimum': -18446744073709551615}}},
+     [T('comparison works for high numbers',
+        {'below_max': 18446744073709551600}, True),
+      T('above high maximum fails',
+        {'below_max': 18446744073709551616}, False),
+      T('comparison works for very negative numbers',
+        {'above_min': -18446744073709551600}, True),
+      T('below low minimum fails',
+        {'above_min': -18446744073709551616}, False)]),
+    ((4, 6, 7), 'bignum is an integer (r5 cal b4)',
+     {'type': 'integer'},
+     [T('bignum is an integer', 12345678910111213141516171819202122232425,
+        True),
+      T('negative bignum is an integer',
+        -12345678910111213141516171819202122232425, True)]),
+    ((6, 7), 'float comparison with high precision (r5 cal b4)',
+     {'exclusiveMaximum': 972783798187987.8},
+     [T('comparison works for high numbers', 972783798187987.0, True),
+      T('boundary excluded', 972783798187987.8, False)]),
+    ((4, 6, 7), 'enum with escaped characters (r5 cal b4)',
+     {'enum': ['foo\nbar', 'foo\rbar']},
+     [T('member 1', 'foo\nbar', True),
+      T('member 2', 'foo\rbar', True),
+      T('another string', 'abc', False)]),
+    ((4, 6, 7), 'nul characters in strings (r5 cal b4)',
+     {'enum': ['hello\0there']},
+     [T('match string with nul', 'hello\0there', True),
+      T('do not match string lacking nul', 'hellothere', False)]),
+    ((6, 7), 'const with null (r5 cal b4)',
+     {'const': None},
+     [T('null matches', None, True),
+      T('zero does not', 0, False),
+      T('false does not', False, False),
+      T('empty string does not', '', False)]),
+    ((4, 6, 7), 'enums in properties with required (r5 cal b4)',
+     {'type': 'object',
+      'properties': {'foo': {'enum': ['foo']}, 'bar': {'enum': ['bar']}},
+      'required': ['bar']},
+     [T('both valid', {'foo': 'foo', 'bar': 'bar'}, True),
+      T('missing optional ok', {'bar': 'bar'}, True),
+      T('missing required fails', {'foo': 'foo'}, False),
+      T('wrong enum value fails', {'bar': 'baz'}, False)]),
+    ((4, 6, 7), 'required with escaped characters (r5 cal b4)',
+     {'required': ['foo\nbar', 'foo"bar']},
+     [T('object with all present', {'foo\nbar': 1, 'foo"bar': 2}, True),
+      T('object missing one', {'foo\nbar': 1}, False)]),
+    ((4, 6, 7), 'maxProperties zero means empty (r5 cal b4)',
+     {'maxProperties': 0},
+     [T('empty ok', {}, True),
+      T('one property too many', {'a': 1}, False)]),
+    ((4, 6, 7), 'not with empty schema (r5 cal b4)',
+     {'not': {}},
+     [T('number invalid', 1, False),
+      T('string invalid', 'x', False),
+      T('null invalid', None, False)]),
+    ((6, 7), 'allOf with boolean schemas (r5 cal b4)',
+     {'allOf': [True, False]},
+     [T('any value invalid', 'foo', False)]),
+    ((6, 7), 'anyOf with boolean schemas (r5 cal b4)',
+     {'anyOf': [True, False]},
+     [T('any value valid', 'foo', True)]),
+    ((6, 7), 'oneOf with boolean schemas (r5 cal b4)',
+     {'oneOf': [True, False]},
+     [T('exactly one true arm valid', 'foo', True)]),
+    ((6, 7), 'oneOf with both boolean true (r5 cal b4)',
+     {'oneOf': [True, True]},
+     [T('both arms match invalid', 'foo', False)]),
+    ((7,), 'if then else boolean schemas (r5 cal b4)',
+     {'if': True, 'then': {'type': 'integer'}, 'else': {'type': 'string'}},
+     [T('then branch applies', 3, True),
+      T('then branch violated', 'x', False)]),
+    ((7,), 'if false boolean takes else (r5 cal b4)',
+     {'if': False, 'then': {'type': 'integer'}, 'else': {'type': 'string'}},
+     [T('else branch applies', 'x', True),
+      T('else branch violated', 3, False)]),
+    ((4, 6, 7), 'unknown keywords are ignored (r5 cal b4)',
+     {'frobnicate': 1, 'wibble': {'type': 'nonsense'}, 'type': 'integer'},
+     [T('type still enforced', 1, True),
+      T('type still rejects', 'x', False)]),
+    ((6, 7), 'contains with const (r5 cal b4)',
+     {'contains': {'const': 5}},
+     [T('array with the value', [1, 5, 9], True),
+      T('array without it', [1, 2, 3], False),
+      T('value via float equality', [5.0], True)]),
+    ((4, 6, 7), 'dependencies with escaped characters (r5 cal b4)',
+     {'dependencies': {'foo\nbar': ['foo\rbar'],
+                       'foo"bar': {'minProperties': 2}}},
+     [T('CRLF pair present', {'foo\nbar': 1, 'foo\rbar': 2}, True),
+      T('CRLF dependency missing', {'foo\nbar': 1}, False),
+      T('quoted trigger satisfied', {'foo"bar': 1, 'x': 2}, True),
+      T('quoted trigger unsatisfied', {'foo"bar': 1}, False)]),
+    ((6, 7), 'propertyNames with pattern (r5 cal b4)',
+     {'propertyNames': {'pattern': '^a'}},
+     [T('all names match', {'alpha': 1, 'apple': 2}, True),
+      T('one name does not', {'alpha': 1, 'beta': 2}, False),
+      T('empty ok', {}, True)]),
+    ((4, 6, 7), 'multipleOf tiny divisor (r5 cal b4)',
+     {'multipleOf': 1e-8},
+     [T('exact multiple', 1.0, True),
+      T('integer multiple', 123, True)]),
+    ((4, 6, 7), 'uniqueItems with tuple items and additionalItems false '
+                '(r5 cal b4)',
+     {'items': [{'type': 'boolean'}, {'type': 'boolean'}],
+      'uniqueItems': True, 'additionalItems': False},
+     [T('unique pair ok', [False, True], True),
+      T('duplicate pair fails', [False, False], False),
+      T('extra item fails additionalItems', [False, True, None], False)]),
+    ((4, 6, 7), 'minimum maximum signed zero (r5 cal b4)',
+     {'minimum': 0},
+     [T('negative zero passes minimum 0', -0.0, True),
+      T('tiny negative fails', -1e-9, False)]),
+]
+
+
 def iter_candidates():
     for draft, desc, schema, tests in format_groups():
         yield draft, desc, schema, tests
-    for drafts, desc, schema, tests in CORE_GROUPS:
+    for drafts, desc, schema, tests in CORE_GROUPS + CORE_GROUPS_B4:
         for draft in drafts:
             yield draft, desc, schema, copy.deepcopy(tests)
         if 7 in drafts:

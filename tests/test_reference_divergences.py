@@ -49,6 +49,12 @@ CASES = [
     # -- float-overflow.json -------------------------------------------
     ('float-overflow-integer-multipleof', D7,
      {'type': 'integer', 'multipleOf': 0.5}, 1e308, False, True, True),
+    # -- type.json (draft4): the official suite says a float with a zero
+    #    fractional part IS an integer in every draft, but the reference's
+    #    draft-4 generator only accepts int instances (draft04.py type
+    #    table); its draft-6/7 generators add the is_integer() widening.
+    ('draft4-float-zero-fraction-not-integer', D4,
+     {'type': 'integer'}, 1.0, False, True, True),
     # -- date-time.json / date.json / time.json: regex-only formats ----
     ('datetime-feb-31', D7,
      {'format': 'date-time'}, '1990-02-31T15:59:59.000Z',

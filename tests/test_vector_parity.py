@@ -40,8 +40,25 @@ def reference_row_outcomes(reference, schema, rows, fast_fail=True,
 
 def assert_table_parity(reference, schema, table, fast_fail=True,
                         check_transform=False, handlers=None):
-    tv = TableValidator(copy.deepcopy(schema), table.schema,
-                        fast_fail=fast_fail, handlers=handlers or {})
+    from python_fastjsonschema_ray.exceptions import (
+        JsonSchemaDefinitionException)
+    try:
+        tv = TableValidator(copy.deepcopy(schema), table.schema,
+                            fast_fail=fast_fail, handlers=handlers or {})
+    except JsonSchemaDefinitionException as exc:
+        # Definition-exception parity: some schemas are rejected at compile
+        # time (e.g. a pointer that no longer resolves once the schema is
+        # relocated under a wrapper, reached through the exception-payload
+        # ref expansion).  The engine is faithful iff the reference rejects
+        # the SAME schema the same way.
+        with pytest.raises(Exception) as ref_exc:
+            reference.compile(copy.deepcopy(schema), fast_fail=fast_fail,
+                              handlers=handlers or {})
+        assert type(ref_exc.value).__name__ == 'JsonSchemaDefinitionException'
+        assert str(ref_exc.value) == str(exc), (
+            'compile-time rejection message mismatch: engine {!r} vs '
+            'reference {!r}'.format(str(exc), str(ref_exc.value)))
+        return
     result = tv.validate_batch(table)
     from python_fastjsonschema_ray.functions.arrowutil import pylist_json
     rows = [dict(zip(table.schema.names, vals)) for vals in zip(*[
