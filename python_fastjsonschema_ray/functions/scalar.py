@@ -1143,14 +1143,33 @@ def compile_to_code(definition, handlers=None, formats=None, use_default=True,
             'refs before serializing')
     # Validate the definition now so bad schemas fail at generation time,
     # like the reference.
-    ScalarCompiler(definition, formats=formats, use_default=use_default,
-                   use_formats=use_formats,
-                   detailed_exceptions=detailed_exceptions,
-                   fast_fail=fast_fail).compile_root()
+    compiler = ScalarCompiler(definition, formats=formats,
+                              use_default=use_default,
+                              use_formats=use_formats,
+                              detailed_exceptions=detailed_exceptions,
+                              fast_fail=fast_fail)
+    compiler.compile_root()
     from .. import VERSION
     regex_formats = {k: v for k, v in (formats or {}).items()
                      if isinstance(v, str)}
     has_callables = any(not isinstance(v, str) for v in (formats or {}).values())
+    # Preferred artifact: readable straight-line source (one function per
+    # subschema scope, same semantics as this interpreter by construction,
+    # dependency-free).  Combinations the emitter doesn't cover (collect
+    # mode, callable formats, plugin keywords) fall through to the
+    # vendored-runtime artifact below.
+    from .codegen import Unemittable, emit_source
+    try:
+        header = [
+            '"""Validator generated by '
+            'python_fastjsonschema_ray.compile_to_code."""',
+            'VERSION = {!r}'.format(VERSION),
+            'SCHEMA = {!r}'.format(definition),
+            'CUSTOM_FORMATS = {!r}'.format(regex_formats),
+        ]
+        return emit_source(compiler, header)
+    except Unemittable:
+        pass
     lines = [
         'VERSION = {!r}'.format(VERSION),
         'SCHEMA = {!r}'.format(definition),
