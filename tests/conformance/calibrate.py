@@ -885,11 +885,195 @@ CORE_GROUPS_B4 = [
       T('tiny negative fails', -1e-9, False)]),
 ]
 
+# Batch 6: official-suite shapes not yet represented — ref-to-root, the
+# JSON 0/false and 1/true identity rules, $ref sibling-keyword masking,
+# cascaded additionalProperties, regex lookaround, astral-plane lengths.
+CORE_GROUPS_B6 = [
+    ((4, 6, 7), 'not with empty schema rejects everything (r5 cal b6)',
+     {'not': {}},
+     [T('number rejected', 1, False),
+      T('string rejected', 'foo', False),
+      T('null rejected', None, False),
+      T('object rejected', {}, False)]),
+    ((4, 6, 7), 'ref to root # recursive (r5 cal b6)',
+     {'properties': {'foo': {'$ref': '#'}},
+      'additionalProperties': False},
+     [T('match', {'foo': False}, True),
+      T('recursive match', {'foo': {'foo': False}}, True),
+      T('mismatch', {'bar': False}, False),
+      T('recursive mismatch', {'foo': {'bar': False}}, False)]),
+    ((4, 6, 7), 'uniqueItems 0 and false are distinct (r5 cal b6)',
+     {'uniqueItems': True},
+     [T('[0, false] unique', [0, False], True),
+      T('[1, true] unique', [1, True], True),
+      T('[0, 0.0] duplicate', [0, 0.0], False),
+      T('nested [0] and [false] unique', [[0], [False]], True),
+      T('{a:0} vs {a:false} unique', [{'a': 0}, {'a': False}], True)]),
+    ((4, 6, 7), 'enum 0 does not match false (r5 cal b6)',
+     {'enum': [0]},
+     [T('0 member', 0, True),
+      T('0.0 member', 0.0, True),
+      T('false not member', False, False)]),
+    ((4, 6, 7), 'enum 1 does not match true (r5 cal b6)',
+     {'enum': [1]},
+     [T('1 member', 1, True),
+      T('1.0 member', 1.0, True),
+      T('true not member', True, False)]),
+    ((6, 7), 'const 0 vs false and 1 vs true (r5 cal b6)',
+     {'properties': {'z': {'const': 0}, 'o': {'const': 1}}},
+     [T('numbers match', {'z': 0, 'o': 1}, True),
+      T('false is not 0', {'z': False}, False),
+      T('true is not 1', {'o': True}, False)]),
+    ((4, 6, 7), 'nested additionalProperties cascade (r5 cal b6)',
+     {'properties': {
+         'outer': {'properties': {'inner': {'type': 'integer'}},
+                   'additionalProperties': False}},
+      'additionalProperties': {'type': 'string'}},
+     [T('both levels ok', {'outer': {'inner': 1}, 'extra': 's'}, True),
+      T('inner extra rejected', {'outer': {'other': 1}}, False),
+      T('outer extra wrong type', {'extra': 2}, False)]),
+    ((4, 6, 7), 'pattern with lookahead (r5 cal b6)',
+     {'pattern': '^(?=.*[0-9])(?=.*[a-z]).{6,}$'},
+     [T('has digit and lower', 'abc123', True),
+      T('no digit', 'abcdef', False),
+      T('too short', 'a1', False)]),
+    ((4, 6, 7), 'pattern with escaped metachars (r5 cal b6)',
+     {'pattern': '^\\(\\d+\\.\\d+\\)$'},
+     [T('parenthesised decimal', '(3.14)', True),
+      T('no parens', '3.14', False),
+      T('dot is escaped', '(3x14)', False)]),
+    ((4, 6, 7), 'minLength astral and zwj sequences (r5 cal b6)',
+     {'minLength': 3},
+     [T('family emoji counts per codepoint',
+        '\U0001F468‍\U0001F469', True),
+      T('two astral chars too short', '\U0001F600\U0001F601', False),
+      T('three bmp chars ok', 'abc', True)]),
+    ((4, 6, 7), 'allOf unsatisfiable type conflict (r5 cal b6)',
+     {'allOf': [{'type': 'integer'}, {'type': 'string'}]},
+     [T('integer fails second', 1, False),
+      T('string fails first', 'x', False),
+      T('other fails both', None, False)]),
+    ((4, 6, 7), 'dependencies empty array form (r5 cal b6)',
+     {'dependencies': {'bar': []}},
+     [T('bar present ok', {'bar': 1}, True),
+      T('bar absent ok', {}, True)]),
+    ((4, 6, 7), 'maxProperties 0 forbids all (r5 cal b6)',
+     {'maxProperties': 0},
+     [T('empty ok', {}, True),
+      T('one too many', {'a': 1}, False),
+      T('arrays ignored', [1, 2], True)]),
+    ((4, 6, 7), 'ref sibling keywords (r5 cal b6)',
+     {'definitions': {'int': {'type': 'integer'}},
+      'properties': {'x': {'$ref': '#/definitions/int',
+                           'maximum': 5}}},
+     [T('small int ok', {'x': 3}, True),
+      T('string rejected by ref', {'x': 'no'}, False)]),
+    ((4, 6, 7), 'type array all primitives (r5 cal b6)',
+     {'type': ['integer', 'string', 'boolean', 'null', 'array',
+               'object', 'number']},
+     [T('integer', 1, True),
+      T('string', 'x', True),
+      T('boolean', True, True),
+      T('null', None, True),
+      T('array', [], True),
+      T('object', {}, True),
+      T('float', 1.5, True)]),
+    ((6, 7), 'contains with const (r5 cal b6)',
+     {'contains': {'const': 5}},
+     [T('has the value', [1, 5, 9], True),
+      T('missing the value', [1, 2], False),
+      T('false is not 5', [False], False)]),
+    ((7,), 'if else without then (r5 cal b6)',
+     {'if': {'type': 'integer'}, 'else': {'minLength': 2}},
+     [T('integer passes vacuous then', 1, True),
+      T('long string passes else', 'ab', True),
+      T('short string fails else', 'a', False)]),
+    ((4, 6, 7), 'numeric limits near 1e308 (r5 cal b6)',
+     {'maximum': 1e308},
+     [T('at limit', 1e308, True),
+      T('below limit', 1e307, True)]),
+    ((6, 7), 'propertyNames empty string key (r5 cal b6)',
+     {'propertyNames': {'minLength': 1}},
+     [T('empty key fails', {'': 1}, False),
+      T('normal key ok', {'a': 1}, True)]),
+    ((4, 6, 7), 'additionalItems ignored when items is schema (r5 cal b6)',
+     {'items': {'type': 'integer'}, 'additionalItems': False},
+     [T('all integers ok', [1, 2, 3, 4, 5], True),
+      T('a string fails items', [1, 'x'], False)]),
+    ((4, 6, 7), 'enum with null member (r5 cal b6)',
+     {'enum': [None, 'x']},
+     [T('null member', None, True),
+      T('string member', 'x', True),
+      T('false not member', False, False),
+      T('0 not member', 0, False)]),
+    ((4, 6, 7), 'whitespace-only property names (r5 cal b6)',
+     {'properties': {' ': {'type': 'integer'},
+                     '\t': {'type': 'string'}},
+      'required': [' ']},
+     [T('space key valid', {' ': 1}, True),
+      T('space key wrong type', {' ': 'x'}, False),
+      T('tab key wrong type', {' ': 1, '\t': 2}, False),
+      T('space key missing', {'\t': 'a'}, False)]),
+    ((4, 6, 7), 'overlapping patternProperties both apply (r5 cal b6)',
+     {'patternProperties': {'^a': {'minimum': 0},
+                            'a$': {'maximum': 10}}},
+     [T('both patterns satisfied', {'aba': 5}, True),
+      T('prefix pattern violated', {'ax': -1}, False),
+      T('suffix pattern violated', {'xa': 11}, False),
+      T('overlap needs both', {'a': 99}, False)]),
+    ((4, 6, 7), 'items schema applies to every index (r5 cal b6)',
+     {'items': {'minimum': 2}},
+     [T('all pass', [2, 3, 4], True),
+      T('first fails', [1, 3], False),
+      T('last fails', [3, 1], False),
+      T('empty ok', [], True)]),
+    ((6, 7), 'contains empty schema needs nonempty array (r5 cal b6)',
+     {'contains': {}},
+     [T('nonempty ok', [None], True),
+      T('empty fails', [], False),
+      T('non-array ignored', 'x', True)]),
+    ((6, 7), 'numeric exclusive bounds combined with inclusive '
+             '(r5 cal b6)',
+     {'minimum': 0, 'exclusiveMinimum': 0},
+     [T('zero fails exclusive', 0, False),
+      T('positive ok', 0.1, True),
+      T('negative fails both', -1, False)]),
+    ((4, 6, 7), 'minProperties ignores strings and arrays (r5 cal b6)',
+     {'minProperties': 2},
+     [T('long string ignored', 'abcdef', True),
+      T('long array ignored', [1, 2, 3], True),
+      T('small object fails', {'a': 1}, False),
+      T('big object ok', {'a': 1, 'b': 2}, True)]),
+    ((4, 6, 7), 'dependencies multiple triggers combined (r5 cal b6)',
+     {'dependencies': {'a': ['x'], 'b': ['y']}},
+     [T('neither trigger', {}, True),
+      T('a with x', {'a': 1, 'x': 2}, True),
+      T('both triggers satisfied', {'a': 1, 'x': 2, 'b': 3, 'y': 4},
+        True),
+      T('a without x', {'a': 1}, False),
+      T('b without y', {'a': 1, 'x': 2, 'b': 3}, False)]),
+    ((4, 6, 7), 'allOf anyOf oneOf together at root (r5 cal b6)',
+     {'allOf': [{'multipleOf': 2}],
+      'anyOf': [{'multipleOf': 3}],
+      'oneOf': [{'multipleOf': 5}]},
+     [T('30 satisfies all three', 30, True),
+      T('6 misses oneOf', 6, False),
+      T('10 misses anyOf', 10, False),
+      T('15 misses allOf', 15, False)]),
+    ((4, 6, 7), 'properties named like applicators (r5 cal b6)',
+     {'properties': {'allOf': {'type': 'integer'},
+                     '$ref': {'type': 'string'}}},
+     [T('plain data keys validate', {'allOf': 1, '$ref': 'a'}, True),
+      T('allOf key wrong type', {'allOf': 'x'}, False),
+      T('ref key wrong type', {'$ref': 2}, False)]),
+]
+
 
 def iter_candidates():
     for draft, desc, schema, tests in format_groups():
         yield draft, desc, schema, tests
-    for drafts, desc, schema, tests in CORE_GROUPS + CORE_GROUPS_B4:
+    for drafts, desc, schema, tests in (CORE_GROUPS + CORE_GROUPS_B4 +
+                                        CORE_GROUPS_B6):
         for draft in drafts:
             yield draft, desc, schema, copy.deepcopy(tests)
         if 7 in drafts:
