@@ -32,6 +32,7 @@ from .test_vector_parity import assert_table_parity
 D4 = 'http://json-schema.org/draft-04/schema'
 D6 = 'http://json-schema.org/draft-06/schema'
 D7 = 'http://json-schema.org/draft-07/schema'
+D2019 = 'https://json-schema.org/draft/2019-09/schema'
 
 # (label, draft_uri, schema, data, ref_valid, spec_valid, vector_ok)
 # vector_ok: run the one-column table wrap too (False for root-$id /
@@ -115,6 +116,27 @@ CASES = [
       'allOf': [{'$id': 'http://localhost:1234/sibling_id/',
                  '$ref': 'foo.json'}]},
      1, True, True, False),
+    # -- draft-2019-09: the reference's CodeGeneratorDraft2019 is
+    #    draft-07 keywords + uuid/duration formats ONLY
+    #    (/root/reference/fastjsonschema/draft2019.py:1-15); the
+    #    2019-only applicators are inert unknown keywords, diverging
+    #    from the 2019 spec.  $defs still works as a plain pointer
+    #    container (no keyword support needed for #/$defs/... refs).
+    ('2019-dependentRequired-inert', D2019,
+     {'dependentRequired': {'a': ['b']}}, {'a': 1}, True, False, True),
+    ('2019-dependentSchemas-inert', D2019,
+     {'dependentSchemas': {'a': {'required': ['b']}}},
+     {'a': 1}, True, False, True),
+    ('2019-minContains-inert', D2019,
+     {'contains': {'const': 1}, 'minContains': 2}, [1],
+     True, False, True),
+    ('2019-maxContains-inert', D2019,
+     {'contains': {'const': 1}, 'maxContains': 1}, [1, 1],
+     True, False, True),
+    ('2019-defs-pointer-ref-works', D2019,
+     {'$defs': {'i': {'type': 'integer'}},
+      'properties': {'x': {'$ref': '#/$defs/i'}}},
+     {'x': 'no'}, False, False, False),
 ]
 
 
@@ -225,3 +247,22 @@ def test_multipleof_nonfinite_clean_violation(reference):
     out = stage(t)
     assert out.num_rows == 2           # the NaN row + the 7.0 row
     assert set(out.column('row').to_pylist()) == {1, 2}
+
+
+def test_2019_anchor_unresolvable_both_sides(reference):
+    """draft-2019's $anchor is NOT indexed by the reference's
+    RefResolver (only draft-6/7 `$id: '#name'` plain-name fragments
+    are); a `$ref: '#foo'` pointing at an $anchor therefore fails to
+    compile with 'Unresolvable ref: foo'.  The engine mirrors the
+    verdict and the message."""
+    import python_fastjsonschema_ray as engine
+
+    schema = {'$schema': 'https://json-schema.org/draft/2019-09/schema',
+              '$defs': {'i': {'$anchor': 'foo', 'type': 'integer'}},
+              'properties': {'x': {'$ref': '#foo'}}}
+    with pytest.raises(reference.JsonSchemaDefinitionException) as ref_exc:
+        reference.compile(copy.deepcopy(schema))
+    with pytest.raises(engine.JsonSchemaDefinitionException) as eng_exc:
+        engine.compile(copy.deepcopy(schema))
+    assert 'Unresolvable ref' in str(ref_exc.value)
+    assert str(eng_exc.value) == str(ref_exc.value)
