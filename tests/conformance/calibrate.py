@@ -1068,12 +1068,127 @@ CORE_GROUPS_B6 = [
       T('ref key wrong type', {'$ref': 2}, False)]),
 ]
 
+# Batch 7: double negation, diamond ref graphs, unicode normalization
+# NOT applied, nested combinators, empty applicator objects, $ref
+# through patternProperties, dependencies containing applicators.
+CORE_GROUPS_B7 = [
+    ((4, 6, 7), 'not not double negation (r5 cal b7)',
+     {'not': {'not': {'type': 'integer'}}},
+     [T('integer passes double negation', 1, True),
+      T('string fails', 'x', False)]),
+    ((4, 6, 7), 'oneOf nested inside oneOf (r5 cal b7)',
+     {'oneOf': [{'oneOf': [{'type': 'integer'}]},
+                {'type': 'boolean'}]},
+     [T('integer via inner', 1, True),
+      T('boolean via outer exactly one arm', True, True),
+      T('string fails all', 'x', False)]),
+    ((4, 6, 7), 'unicode composed vs decomposed distinct (r5 cal b7)',
+     {'enum': ['café']},
+     [T('composed form matches', 'café', True),
+      T('decomposed form does not', 'café', False)]),
+    ((4, 6, 7), 'uniqueItems composed vs decomposed (r5 cal b7)',
+     {'uniqueItems': True},
+     [T('nfc and nfd forms are distinct strings',
+        ['café', 'café'], True),
+      T('identical forms duplicate',
+        ['café', 'café'], False)]),
+    ((4, 6, 7), 'diamond ref graph (r5 cal b7)',
+     {'definitions': {
+         'base': {'type': 'integer'},
+         'left': {'properties': {'l': {'$ref': '#/definitions/base'}}},
+         'right': {'properties': {'r': {'$ref': '#/definitions/base'}}}},
+      'allOf': [{'$ref': '#/definitions/left'},
+                {'$ref': '#/definitions/right'}]},
+     [T('both arms valid', {'l': 1, 'r': 2}, True),
+      T('left arm violated', {'l': 'x', 'r': 2}, False),
+      T('right arm violated', {'l': 1, 'r': 'x'}, False)]),
+    ((4, 6, 7), 'empty applicator objects are no-ops (r5 cal b7)',
+     {'properties': {}, 'patternProperties': {}, 'dependencies': {}},
+     [T('any object ok', {'a': 1}, True),
+      T('empty ok', {}, True),
+      T('non-object ok', 5, True)]),
+    ((4, 6, 7), 'ref through patternProperties (r5 cal b7)',
+     {'definitions': {'pos': {'minimum': 0}},
+      'patternProperties': {'^n_': {'$ref': '#/definitions/pos'}}},
+     [T('matching key valid', {'n_x': 1}, True),
+      T('matching key invalid', {'n_x': -1}, False),
+      T('non-matching key ignored', {'m_x': -1}, True)]),
+    ((4, 6, 7), 'dependencies schema containing applicators (r5 cal b7)',
+     {'dependencies': {'a': {'anyOf': [{'required': ['b']},
+                                       {'required': ['c']}]}}},
+     [T('a with b', {'a': 1, 'b': 2}, True),
+      T('a with c', {'a': 1, 'c': 2}, True),
+      T('a alone', {'a': 1}, False),
+      T('no trigger', {'x': 1}, True)]),
+    ((4, 6, 7), 'minItems zero and empty array (r5 cal b7)',
+     {'minItems': 0},
+     [T('empty ok', [], True),
+      T('nonempty ok', [1], True),
+      T('non-array ignored', '', True)]),
+    ((4, 6, 7), 'property named __proto__ (r5 cal b7)',
+     {'properties': {'__proto__': {'type': 'integer'}},
+      'required': ['__proto__']},
+     [T('valid', {'__proto__': 1}, True),
+      T('wrong type', {'__proto__': 'x'}, False),
+      T('missing', {}, False)]),
+    ((4, 6, 7), 'patternProperties regex metachars in key space '
+                '(r5 cal b7)',
+     {'patternProperties': {'^\\d+$': {'type': 'string'}}},
+     [T('digit key validated', {'123': 'ok'}, True),
+      T('digit key violated', {'123': 9}, False),
+      T('alpha key ignored', {'abc': 9}, True)]),
+    ((4, 6, 7), 'allOf chain of five (r5 cal b7)',
+     {'allOf': [{'minimum': 1}, {'minimum': 2}, {'minimum': 3},
+                {'minimum': 4}, {'minimum': 5}]},
+     [T('meets strictest', 5, True),
+      T('fails last only', 4.5, False),
+      T('fails all', 0, False)]),
+    ((6, 7), 'contains over nested arrays (r5 cal b7)',
+     {'contains': {'type': 'array', 'minItems': 2}},
+     [T('has a long inner array', [[1, 2], []], True),
+      T('only short inner arrays', [[], [1]], False),
+      T('scalars only', [1, 2, 3], False)]),
+    ((4, 6, 7), 'enum single large string (r5 cal b7)',
+     {'enum': ['x' * 1000]},
+     [T('exact long string', 'x' * 1000, True),
+      T('one char short', 'x' * 999, False)]),
+    ((4, 6, 7), 'maxLength zero (r5 cal b7)',
+     {'maxLength': 0},
+     [T('empty string ok', '', True),
+      T('one char too long', 'a', False),
+      T('non-string ignored', 5, True)]),
+    ((4, 6, 7), 'type integer large magnitudes (r5 cal b7)',
+     {'type': 'integer', 'minimum': -(2 ** 62)},
+     [T('2^62 is an integer', 2 ** 62, True),
+      T('below minimum', -(2 ** 63), False)]),
+    ((6, 7), 'propertyNames with enum (r5 cal b7)',
+     {'propertyNames': {'enum': ['a', 'b']}},
+     [T('allowed keys', {'a': 1, 'b': 2}, True),
+      T('forbidden key', {'c': 1}, False),
+      T('empty ok', {}, True)]),
+    ((4, 6, 7), 'nested arrays items of items (r5 cal b7)',
+     {'items': {'items': {'type': 'integer'}}},
+     [T('matrix of ints', [[1, 2], [3]], True),
+      T('inner string fails', [[1], ['x']], False),
+      T('outer scalars pass vacuous inner', [1, 2], True)]),
+    ((4, 6, 7), 'required duplicated across allOf arms (r5 cal b7)',
+     {'allOf': [{'required': ['a']}, {'required': ['a', 'b']}]},
+     [T('both present', {'a': 1, 'b': 2}, True),
+      T('only a', {'a': 1}, False),
+      T('neither', {}, False)]),
+    ((4, 6, 7), 'pattern on property value not name (r5 cal b7)',
+     {'properties': {'code': {'pattern': '^[A-Z]{3}-[0-9]{4}$'}}},
+     [T('well-formed code', {'code': 'ABC-1234'}, True),
+      T('malformed code', {'code': 'AB-123'}, False),
+      T('missing is fine', {}, True)]),
+]
+
 
 def iter_candidates():
     for draft, desc, schema, tests in format_groups():
         yield draft, desc, schema, tests
     for drafts, desc, schema, tests in (CORE_GROUPS + CORE_GROUPS_B4 +
-                                        CORE_GROUPS_B6):
+                                        CORE_GROUPS_B6 + CORE_GROUPS_B7):
         for draft in drafts:
             yield draft, desc, schema, copy.deepcopy(tests)
         if 7 in drafts:
