@@ -139,7 +139,12 @@ class ScalarCompiler:
 
     def __init__(self, definition, *, draft=None, formats=None, use_default=True,
                  use_formats=True, detailed_exceptions=True, fast_fail=True,
-                 handlers=None, registry=None):
+                 handlers=None, registry=None, inline_root=False):
+        # inline_root: compile ``definition`` itself as the root runner
+        # instead of the document at the registry's current URI.  Used for
+        # sub-schema compiles that must resolve $refs through a SHARED
+        # parent registry (vector propertyNames / fallback nodes, whose
+        # $refs were already absolutized by the parent's document walk).
         # Never mutate the caller's schema: the registry walk rewrites $ref
         # URIs in place (refs.py), so work on a deep copy.  A schema too
         # deep to even copy is over the DoS cap by definition.
@@ -165,12 +170,17 @@ class ScalarCompiler:
         # recursive schemas (generator.py:133-138 uses the same worklist idea).
         self._functions = {}
         self._needed = {}
+        self._inline_root = inline_root
 
     # -- public ---------------------------------------------------------
 
     def compile_root(self):
         root_uri = self.registry.current_uri()
-        self._needed[root_uri] = True
+        root_runner = None
+        if self._inline_root:
+            root_runner = self._compile_node(self.definition, 'data')
+        else:
+            self._needed[root_uri] = True
         while self._needed:
             uri, _ = self._needed.popitem()
             if self._functions.get(uri) is not None:
@@ -184,7 +194,8 @@ class ScalarCompiler:
         fast_fail = self.fast_fail
 
         def validate(data, name='data'):
-            runner = functions[root_uri]
+            runner = root_runner if root_runner is not None \
+                else functions[root_uri]
             cell = [data]
             if fast_fail:
                 runner(cell, name, None)

@@ -1157,17 +1157,21 @@ class VectorCompiler:
         # use_default is inherited: in-node default insertion changes what
         # later keywords in the SAME node observe (the resulting transform
         # is still discarded per the non-root temp-variable semantics).
+        # registry + inline_root: fallback nodes may $ref into the parent
+        # document or a remote — resolve through the SHARED registry.
         fast = ScalarCompiler(
             definition, draft=self.draft, formats=self.scalar.custom_formats,
             use_default=self.scalar.use_default,
             use_formats=self.scalar.use_formats,
             detailed_exceptions=self.scalar.detailed, fast_fail=True,
+            registry=self.registry, inline_root=True,
         ).compile_root()
         coll = ScalarCompiler(
             definition, draft=self.draft, formats=self.scalar.custom_formats,
             use_default=self.scalar.use_default,
             use_formats=self.scalar.use_formats,
             detailed_exceptions=self.scalar.detailed, fast_fail=False,
+            registry=self.registry, inline_root=True,
         )
         coll_root = coll.compile_root()
 
@@ -1865,16 +1869,21 @@ class VectorCompiler:
         # fast-fail (does any key fail?) and the reference's collect-mode
         # quirk (draft06.py:127-141) where per-key errors leak into the list
         # and the propertyNames-level error never fires.
+        # registry + inline_root: the name schema may $ref into the parent
+        # document or a remote — resolve through the SHARED registry (its
+        # $refs were already absolutized by the parent's document walk).
         sentinel = '\x00NAME\x00'
         checker = ScalarCompiler(
             names_definition, draft=self.draft,
             use_formats=self.scalar.use_formats,
-            formats=self.scalar.custom_formats).compile_root()
+            formats=self.scalar.custom_formats,
+            registry=self.registry, inline_root=True).compile_root()
         collector = ScalarCompiler(
             names_definition, draft=self.draft, fast_fail=False,
             use_formats=self.scalar.use_formats,
             detailed_exceptions=self.scalar.detailed,
-            formats=self.scalar.custom_formats).compile_root()
+            formats=self.scalar.custom_formats,
+            registry=self.registry, inline_root=True).compile_root()
         ok = True
         leaked = []
         from ..exceptions import JsonSchemaValuesException

@@ -159,6 +159,84 @@ CANDIDATES = [
       {'$ref': L + 'fetch-me.json'},
       [T('string property ok', {'v': 's'}, True),
        T('number property fails', {'v': 1}, False)], vector=False),
+    # ---- batch 6 (round 5 final) -------------------------------------
+    G('remote ref via custom URI scheme handler', 7,
+      {'resource://registry/point.json': {
+          'properties': {'x': {'type': 'number'},
+                         'y': {'type': 'number'}},
+          'required': ['x', 'y']}},
+      {'$ref': 'resource://registry/point.json'},
+      [T('valid point', {'x': 1, 'y': 2.5}, True),
+       T('missing y', {'x': 1}, False),
+       T('string coordinate', {'x': 'a', 'y': 2}, False)]),
+    G('remote URI with query string', 7,
+      {L + 'lookup?name=int&v=2': {'type': 'integer'}},
+      {'properties': {'n': {'$ref': L + 'lookup?name=int&v=2'}}},
+      [T('integer ok', {'n': 1}, True),
+       T('string fails', {'n': 'x'}, False)]),
+    G('remote cycle of three documents', 7,
+      {L + 'r1.json': {
+          'properties': {'a': {'$ref': L + 'r2.json'}}},
+       L + 'r2.json': {
+          'properties': {'b': {'$ref': L + 'r3.json'}}},
+       L + 'r3.json': {
+          'properties': {'c': {'$ref': L + 'r1.json'}},
+          'required': ['c']}},
+      {'$ref': L + 'r1.json'},
+      [T('terminating nesting valid', {'a': {'b': {'c': {'a': 1}}}},
+         True),
+       T('r3 required violated', {'a': {'b': {'x': 1}}}, False)]),
+    G('remote fragment to boolean false definition', 7,
+      {L + 'mixed.json': {
+          'definitions': {'never': False, 'always': True}}},
+      {'properties': {'n': {'$ref': L + 'mixed.json#/definitions/never'},
+                      'a': {'$ref': L + 'mixed.json#/definitions/always'}}},
+      [T('never present fails', {'n': 1}, False),
+       T('always alone ok', {'a': 'anything'}, True),
+       T('empty ok', {}, True)]),
+    G('remote ref inside contains', 7,
+      {L + 'big.json': {'minimum': 100}},
+      {'contains': {'$ref': L + 'big.json'}},
+      [T('one big element', [1, 200], True),
+       T('all small', [1, 2], False)]),
+    G('remote ref inside propertyNames', 7,
+      {L + 'short.json': {'maxLength': 2}},
+      {'propertyNames': {'$ref': L + 'short.json'}},
+      [T('short keys ok', {'ab': 1}, True),
+       T('long key fails', {'abc': 1}, False)]),
+    G('remote ref inside not', 7,
+      {L + 'string.json': {'type': 'string'}},
+      {'not': {'$ref': L + 'string.json'}},
+      [T('number ok', 1, True),
+       T('string rejected', 'x', False)]),
+    G('remote ref inside if and then', 7,
+      {L + 'object.json': {'type': 'object'},
+       L + 'hasid.json': {'required': ['id']}},
+      {'if': {'$ref': L + 'object.json'},
+       'then': {'$ref': L + 'hasid.json'}},
+      [T('object with id', {'id': 1}, True),
+       T('object missing id', {'x': 1}, False),
+       T('non-object passes vacuously', 5, True)]),
+    G('remote URI with percent-encoded path', 7,
+      {L + 'spa%20ce.json': {'type': 'boolean'}},
+      {'$ref': L + 'spa%20ce.json'},
+      [T('boolean ok', True, True),
+       T('number fails', 1, False)]),
+    G('two nested folder base changes in one remote', 7,
+      {L + 'top.json': {
+          '$id': L + 'top.json',
+          'properties': {
+              'lvl1': {
+                  '$id': L + 'f1/',
+                  'properties': {
+                      'lvl2': {'$id': 'f2/',
+                               'properties': {
+                                   'leaf': {'$ref': 'leafInteger.json'}}}}}}},
+       L + 'f1/f2/leafInteger.json': {'type': 'integer'}},
+      {'$ref': L + 'top.json'},
+      [T('leaf integer ok', {'lvl1': {'lvl2': {'leaf': 1}}}, True),
+       T('leaf string fails', {'lvl1': {'lvl2': {'leaf': 'x'}}}, False)],
+      vector=False),
 ]
 
 
@@ -169,7 +247,9 @@ def handlers_for(group):
         if uri in remotes:
             return copy.deepcopy(remotes[uri])
         raise LookupError('unknown remote URI: ' + uri)
-    return {'http': handler, 'https': handler}
+    schemes = {'http', 'https'}
+    schemes.update(u.split('://', 1)[0] for u in remotes if '://' in u)
+    return {s: handler for s in schemes}
 
 
 def main():

@@ -156,7 +156,9 @@ def _group_handlers(group):
             return copy.deepcopy(remotes[uri])
         raise LookupError('unknown remote URI: {}'.format(uri))
 
-    return {'http': handler, 'https': handler}
+    schemes = {'http', 'https'}
+    schemes.update(u.split('://', 1)[0] for u in remotes if '://' in u)
+    return {s: handler for s in schemes}
 
 
 @pytest.mark.parametrize('group', _remote_params())
