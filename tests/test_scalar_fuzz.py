@@ -78,3 +78,19 @@ def test_fuzz_mixed_schema(reference, value, fast_fail):
         'required': ['a'],
     }
     assert_parity(reference, schema, value, fast_fail=fast_fail)
+
+
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(schema=schemas, value=json_values, fast_fail=st.booleans(),
+       depth=st.integers(1, 3))
+def test_fuzz_ref_indirection(reference, schema, value, fast_fail, depth):
+    """Any schema reached through a chain of $refs must behave exactly
+    like the inline schema did — exercising the registry worklist with
+    arbitrary fuzz targets, not just hand-written REF_CASES."""
+    defs = {'d0': schema}
+    for i in range(1, depth + 1):
+        defs['d%d' % i] = {'$ref': '#/definitions/d%d' % (i - 1)}
+    wrapped = {'definitions': defs,
+               'properties': {'x': {'$ref': '#/definitions/d%d' % depth}}}
+    assert_parity(reference, wrapped, {'x': value}, fast_fail=fast_fail)

@@ -57,7 +57,12 @@ def remote_server():
     URL baked into the suite's $refs)."""
     docs = {}
     for url, doc in _all_remotes().items():
-        # http://localhost:1234/integer.json -> /integer.json
+        # http://localhost:1234/integer.json -> /integer.json; the
+        # urllib handler serves HTTP only — corpus remotes on custom
+        # schemes (resource://...) are exercised by the lookup-handler
+        # conformance tests instead and are skipped here.
+        if 'localhost:1234' not in url:
+            continue
         path = url.split('localhost:1234', 1)[1]
         docs[path] = json.dumps(doc).encode()
     docs['/not-json.json'] = b'{ this is not json'
@@ -121,6 +126,8 @@ def test_remote_groups_over_live_http(reference, remote_server):
     the same live server."""
     ran = 0
     for group in _load_groups():
+        if any('localhost:1234' not in u for u in group['remotes']):
+            continue        # custom-scheme remotes: not servable over HTTP
         schema = _with_draft(group['schema'], group['draft'])
         # Reference: no handlers at all -> its default urllib path.
         ref_v = reference.compile(copy.deepcopy(schema))

@@ -405,3 +405,37 @@ def test_key_column_in_violations():
     assert rec['message'] == 'data.v must be bigger than or equal to 0'
     assert rec['rule'] == 'minimum'
     assert rec['row'] == 1
+
+
+@pytest.mark.parametrize('fast_fail', [True, False])
+def test_ref_inside_propertyNames_and_fallback(reference, fast_fail):
+    """$refs inside propertyNames (compile-time sub-evaluation) and inside
+    fallback-handled nodes resolve through the SHARED parent registry —
+    in-document refs to sibling definitions AND remote refs via handlers
+    (round-5 fix: the sub-ScalarCompiler used to rebuild a blind registry
+    from the bare subschema)."""
+    remotes = {'http://localhost:1234/short.json': {'maxLength': 2}}
+
+    def handler(uri):
+        import copy as _copy
+        if uri in remotes:
+            return _copy.deepcopy(remotes[uri])
+        raise LookupError(uri)
+
+    handlers = {'http': handler}
+    table = pa.table({'col': pa.array(
+        [{'ab': 1}, {'abc': 2}],
+        type=pa.struct([('ab', pa.int64()), ('abc', pa.int64())]))})
+
+    indoc = {'$schema': 'http://json-schema.org/draft-07/schema',
+             'definitions': {'short': {'maxLength': 2}},
+             'properties': {'col': {
+                 'propertyNames': {'$ref': '#/definitions/short'}}}}
+    assert_table_parity(reference, indoc, table, fast_fail=fast_fail)
+
+    remote = {'$schema': 'http://json-schema.org/draft-07/schema',
+              'properties': {'col': {
+                  'propertyNames': {
+                      '$ref': 'http://localhost:1234/short.json'}}}}
+    assert_table_parity(reference, remote, table, fast_fail=fast_fail,
+                        handlers=handlers)
