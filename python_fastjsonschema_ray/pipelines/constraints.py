@@ -242,8 +242,12 @@ def check_unique(ds, columns, concurrency=None, num_buckets=None,
         totals = df.groupby(columns, sort=False)['partial_n'].sum()
         totals = totals[totals > 1]
         out = totals.reset_index().rename(columns={'partial_n': 'n'})
+        # replace_schema_metadata(None): from_pandas attaches b'pandas'
+        # metadata even with schema=, and this pyarrow build's Schema
+        # hash chokes on it inside Ray's block-schema dedup.
         return pa.Table.from_pandas(out, schema=out_schema,
-                                    preserve_index=False)
+                                    preserve_index=False
+                                    ).replace_schema_metadata(None)
 
     return bucketed.groupby('_bucket').map_groups(dups,
                                                   batch_format='pyarrow')

@@ -497,8 +497,12 @@ def broadcast_interval_join(ds, point_column, intervals, start_column,
                 unmatched[c] = None
             out = pd.concat([out, unmatched], ignore_index=True,
                             sort=False)
+        # replace_schema_metadata(None): from_pandas attaches b'pandas'
+        # metadata even with schema=, and this pyarrow build's Schema
+        # hash chokes on it inside Ray's block-schema dedup.
         return pa.Table.from_pandas(out, schema=out_schema,
-                                    preserve_index=False)
+                                    preserve_index=False
+                                    ).replace_schema_metadata(None)
 
     return ds.map_batches(join, batch_format='pyarrow')
 

@@ -296,8 +296,12 @@ def grouped_quantile(ds, keys, value_column, qs, *, num_buckets=None,
             out = pd.concat([out] + pads, ignore_index=True, sort=False)
         out = out[keys + ['q', value_column]].rename(
             columns={value_column: out_column})
+        # replace_schema_metadata(None): from_pandas attaches b'pandas'
+        # metadata even with schema=, and this pyarrow build's Schema
+        # hash chokes on it inside Ray's block-schema dedup.
         return pa.Table.from_pandas(out, schema=out_schema,
-                                    preserve_index=False)
+                                    preserve_index=False
+                                    ).replace_schema_metadata(None)
 
     return bucketed.groupby('_bucket').map_groups(
         bucket_quantiles, batch_format='pyarrow')

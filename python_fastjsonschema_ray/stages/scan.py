@@ -122,7 +122,8 @@ def grouped_scan(ds, keys, order_by, value_column,
                 srt[op] = rsum / np.minimum(pos + 1, w)
         return pa.Table.from_pandas(srt[in_cols + list(ops)],
                                     schema=out_schema,
-                                    preserve_index=False)
+                                    preserve_index=False
+                                    ).replace_schema_metadata(None)
 
     return bucketed.groupby('_bucket').map_groups(
         bucket_scan, batch_format='pyarrow')
