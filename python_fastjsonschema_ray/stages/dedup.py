@@ -190,14 +190,21 @@ class MinHashBandStage:
         # to one window), so densification always terminates.
         return MinHasher._densify(out)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pd.DataFrame):
         ids = batch[self.id_column].to_numpy()
         texts = batch[self.text_column].fillna('').tolist()
         if not texts:
-            data = {'band': [], 'band_hash': [], self.id_column: []}
+            # Typed empty Arrow table (band triples are int64; id keeps
+            # the input column's type) — metadata-free so downstream
+            # schema dedup/union stay clean.
+            data = {'band': pa.array([], type=pa.int64()),
+                    'band_hash': pa.array([], type=pa.int64()),
+                    self.id_column: pa.array(
+                        [], type=pa.Array.from_pandas(
+                            batch[self.id_column]).type)}
             if self.carry_text:
-                data[self.text_column] = []
-            return pd.DataFrame(data)
+                data[self.text_column] = pa.array([], type=pa.string())
+            return pa.table(data)
         r = self.rows_per_band
         sigs = self.signatures(texts)                       # (n, num_perm)
         grouped = sigs.reshape(len(texts), self.bands, r).view(np.int64)
@@ -212,9 +219,11 @@ class MinHashBandStage:
             self.id_column: np.repeat(ids, self.bands),
         }
         if self.carry_text:
-            data[self.text_column] = np.repeat(
-                batch[self.text_column].fillna('').to_numpy(), self.bands)
-        return pd.DataFrame(data)
+            data[self.text_column] = pa.array(np.repeat(
+                batch[self.text_column].fillna('').to_numpy(), self.bands))
+        # Arrow out from numpy — no pandas schema metadata (unhashable in
+        # this pyarrow build, trips Ray's block-schema dedup).
+        return pa.table(data)
 
 
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
@@ -345,11 +354,14 @@ def minhash_duplicate_pairs(ds, id_column, text_column, *, threshold=0.8,
             ii, jj = np.triu_indices(n, k=1)
             out_a.append(bucket[ii])
             out_b.append(bucket[jj])
+        # Arrow out (from numpy, no pandas metadata): typed empties stay
+        # typed AND Ray's block-schema dedup can hash the schema (pandas
+        # metadata makes pa.Schema unhashable in this pyarrow build).
         if not out_a:
-            empty = pd.Series([], dtype=ids.dtype)
-            return pd.DataFrame({'id_a': empty, 'id_b': empty})
-        return pd.DataFrame({'id_a': np.concatenate(out_a),
-                             'id_b': np.concatenate(out_b)})
+            empty = np.array([], dtype=ids.dtype)
+            return pa.table({'id_a': empty, 'id_b': empty})
+        return pa.table({'id_a': np.concatenate(out_a),
+                         'id_b': np.concatenate(out_b)})
 
     candidate_pairs = banded.groupby('band').map_groups(
         band_pairs, batch_format='pandas')
@@ -765,11 +777,14 @@ def ngram_jaccard_pairs(ds, id_column, text_column, *, threshold=0.8,
             if keep.any():
                 out_a.append(ids[s:e][ii[keep]])
                 out_b.append(ids[s:e][jj[keep]])
+        # Arrow out (from numpy, no pandas metadata): typed empties stay
+        # typed AND Ray's block-schema dedup can hash the schema (pandas
+        # metadata makes pa.Schema unhashable in this pyarrow build).
         if not out_a:
-            empty = pd.Series([], dtype=ids.dtype)
-            return pd.DataFrame({'id_a': empty, 'id_b': empty})
-        return pd.DataFrame({'id_a': np.concatenate(out_a),
-                             'id_b': np.concatenate(out_b)})
+            empty = np.array([], dtype=ids.dtype)
+            return pa.table({'id_a': empty, 'id_b': empty})
+        return pa.table({'id_a': np.concatenate(out_a),
+                         'id_b': np.concatenate(out_b)})
 
     candidate_pairs = prefix_rows.map_batches(
         add_sh_bucket, batch_format='pyarrow') \
