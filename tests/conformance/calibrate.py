@@ -1183,12 +1183,74 @@ CORE_GROUPS_B7 = [
       T('missing is fine', {}, True)]),
 ]
 
+# Batch 8: in-document $id scope shapes (official id.json / ref.json) —
+# the corpus had no in-document $id groups at all; remote-$id shapes
+# live in remote.json.  draft-4 spells the keyword 'id'.
+CORE_GROUPS_B8 = [
+    ((6, 7), 'definition anchored by absolute $id (r5 cal b8)',
+     {'definitions': {
+         'A': {'$id': 'http://localhost:1234/b8/int.json',
+               'type': 'integer'}},
+      'properties': {'x': {'$ref': 'http://localhost:1234/b8/int.json'}}},
+     [T('resolves by absolute id', {'x': 1}, True),
+      T('violation through id', {'x': 'no'}, False)]),
+    ((6, 7), 'relative $id resolved against root $id (r5 cal b8)',
+     {'$id': 'http://localhost:1234/b8root/main.json',
+      'definitions': {
+          'A': {'$id': 'sub.json', 'type': 'string'}},
+      'properties': {'x': {'$ref': 'sub.json'}}},
+     [T('relative id resolves', {'x': 's'}, True),
+      T('violation through relative id', {'x': 1}, False)]),
+    ((6, 7), 'nested $id scope changes inner ref base (r5 cal b8)',
+     {'$id': 'http://localhost:1234/b8nest/root.json',
+      'definitions': {
+          'leaf': {'$id': 'http://localhost:1234/b8nest/deep/leaf.json',
+                   'type': 'boolean'},
+          'mid': {'$id': 'deep/mid.json',
+                  'properties': {'b': {'$ref': 'leaf.json'}}}},
+      'properties': {'m': {'$ref': 'deep/mid.json'}}},
+     [T('two-level scope resolution', {'m': {'b': True}}, True),
+      T('violation at the leaf', {'m': {'b': 3}}, False)]),
+    ((4,), 'draft4 id keyword anchors a definition (r5 cal b8)',
+     {'definitions': {
+         'A': {'id': 'http://localhost:1234/b8d4/int.json',
+               'type': 'integer'}},
+      'properties': {'x': {'$ref': 'http://localhost:1234/b8d4/int.json'}}},
+     [T('resolves by draft4 id', {'x': 1}, True),
+      T('violation through draft4 id', {'x': 'no'}, False)]),
+    ((6, 7), 'root $id with fragment ref to self (r5 cal b8)',
+     {'$id': 'http://localhost:1234/b8self/root.json',
+      'maxProperties': 1,
+      'properties': {'child': {'$ref': '#'}}},
+     [T('recursive through root id', {'child': {}}, True),
+      T('inner violates root constraint',
+        {'child': {'a': 1, 'b': 2}}, False)]),
+    ((6, 7), '$id inside allOf arm scopes its refs (r5 cal b8)',
+     {'$id': 'http://localhost:1234/b8arm/root.json',
+      'definitions': {
+          'num': {'$id': 'http://localhost:1234/b8arm/scoped/num.json',
+                  'minimum': 10}},
+      'allOf': [{'$id': 'scoped/',
+                 'allOf': [{'$ref': 'num.json'}]}]},
+     [T('scope-relative ref resolves', 11, True),
+      T('violation through scoped ref', 5, False)]),
+    ((6, 7), 'pointer ref into an $id-anchored definition (r5 cal b8)',
+     {'definitions': {
+         'box': {'$id': 'http://localhost:1234/b8ptr/box.json',
+                 'properties': {'v': {'type': 'integer'}}}},
+      'properties': {
+          'direct': {'$ref': '#/definitions/box/properties/v'}}},
+     [T('pointer path still works', {'direct': 2}, True),
+      T('pointer path violation', {'direct': 'x'}, False)]),
+]
+
 
 def iter_candidates():
     for draft, desc, schema, tests in format_groups():
         yield draft, desc, schema, tests
     for drafts, desc, schema, tests in (CORE_GROUPS + CORE_GROUPS_B4 +
-                                        CORE_GROUPS_B6 + CORE_GROUPS_B7):
+                                        CORE_GROUPS_B6 + CORE_GROUPS_B7 +
+                                        CORE_GROUPS_B8):
         for draft in drafts:
             yield draft, desc, schema, copy.deepcopy(tests)
         if 7 in drafts:

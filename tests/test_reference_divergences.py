@@ -266,3 +266,27 @@ def test_2019_anchor_unresolvable_both_sides(reference):
         engine.compile(copy.deepcopy(schema))
     assert 'Unresolvable ref' in str(ref_exc.value)
     assert str(eng_exc.value) == str(ref_exc.value)
+
+
+def test_list_nested_id_not_indexed_both_sides(reference):
+    """$ids nested inside APPLICATOR LISTS (allOf/anyOf/oneOf arms) are
+    not location-indexed by either side — part of the reference's
+    xfailed id.json family.  The reference falls through to its implicit
+    urllib fetch (URLError at compile on this offline box); the engine
+    raises its clean no-handler JsonSchemaDefinitionException (the
+    documented no-implicit-network divergence).  Verdict parity: both
+    REJECT the schema; only the failure mode differs."""
+    import urllib.error
+
+    import python_fastjsonschema_ray as engine
+
+    schema = {'$schema': 'http://json-schema.org/draft-07/schema',
+              'allOf': [{'$id': 'http://localhost:1234/nested-list/a.json',
+                         'type': 'integer'}],
+              'properties': {
+                  'x': {'$ref': 'http://localhost:1234/nested-list/a.json'}}}
+    with pytest.raises(urllib.error.URLError):
+        reference.compile(copy.deepcopy(schema))
+    with pytest.raises(engine.JsonSchemaDefinitionException) as exc:
+        engine.compile(copy.deepcopy(schema))
+    assert 'no registered handler' in str(exc.value)
