@@ -1244,13 +1244,93 @@ CORE_GROUPS_B8 = [
       T('pointer path violation', {'direct': 'x'}, False)]),
 ]
 
+# Batch 9: pointer refs into applicator arms, deep-equality shapes,
+# wide/deep structural stress, unicode regex classes, self-dependency.
+CORE_GROUPS_B9 = [
+    ((4, 6, 7), 'ref into an allOf arm by pointer (r5 cal b9)',
+     {'allOf': [{'minimum': 0}],
+      'properties': {'x': {'$ref': '#/allOf/0'}}},
+     [T('arm reused via pointer', {'x': 1}, True),
+      T('arm violation via pointer', {'x': -1}, False)]),
+    ((4, 6, 7), 'enum arrays are order-sensitive (r5 cal b9)',
+     {'enum': [[1, 2]]},
+     [T('same order matches', [1, 2], True),
+      T('reversed does not', [2, 1], False),
+      T('prefix does not', [1], False)]),
+    ((6, 7), 'const deep nested equality (r5 cal b9)',
+     {'const': {'a': [1, {'b': 2}]}},
+     [T('deep equal', {'a': [1, {'b': 2}]}, True),
+      T('deep leaf differs', {'a': [1, {'b': 3}]}, False),
+      T('inner order differs', {'a': [{'b': 2}, 1]}, False)]),
+    ((4, 6, 7), 'wide object fifty required keys (r5 cal b9)',
+     {'required': ['k%02d' % i for i in range(50)]},
+     [T('all fifty present', {'k%02d' % i: i for i in range(50)}, True),
+      T('one missing', {'k%02d' % i: i for i in range(49)}, False)]),
+    ((4, 6, 7), 'twenty-level nesting (r5 cal b9)',
+     (lambda d: [d := {'properties': {'n': d}}
+                 for _ in range(19)] and d)({'type': 'integer'}),
+     [T('deep valid',
+        (lambda v: [v := {'n': v} for _ in range(19)] and v)(1), True),
+      T('deep violation',
+        (lambda v: [v := {'n': v} for _ in range(19)] and v)('x'),
+        False)]),
+    ((4, 6, 7), 'unicode class in patternProperties (r5 cal b9)',
+     {'patternProperties': {'^[а-я]+$': {'type': 'integer'}},
+      'additionalProperties': {'type': 'string'}},
+     [T('cyrillic key validated', {'ключ': 1}, True),
+      T('cyrillic key violated', {'ключ': 'x'}, False),
+      T('latin key is additional', {'key': 's'}, True)]),
+    ((4, 6, 7), 'self-dependency (r5 cal b9)',
+     {'dependencies': {'a': ['a']}},
+     [T('trivially satisfied when present', {'a': 1}, True),
+      T('absent trigger ok', {}, True)]),
+    ((7,), 'if inside items (r5 cal b9)',
+     {'items': {'if': {'type': 'number'},
+                'then': {'minimum': 0},
+                'else': {'minLength': 1}}},
+     [T('numbers and strings each routed', [1, 'a'], True),
+      T('negative number fails then', [-1], False),
+      T('empty string fails else', [''], False)]),
+    ((4, 6, 7), 'not with required (r5 cal b9)',
+     {'not': {'required': ['secret']}},
+     [T('without the key ok', {'a': 1}, True),
+      T('with the key rejected', {'secret': 1}, False),
+      T('non-object: inner required vacuous -> not fails', 5, False)]),
+    ((6, 7), 'contains alongside items (r5 cal b9)',
+     {'items': {'minimum': 0}, 'contains': {'minimum': 10}},
+     [T('all pass items, one passes contains', [1, 11], True),
+      T('items ok but contains unmet', [1, 2], False),
+      T('one fails items', [-1, 11], False)]),
+    ((4, 6, 7), 'additionalProperties true explicit (r5 cal b9)',
+     {'properties': {'a': {'type': 'integer'}},
+      'additionalProperties': True},
+     [T('extra anything ok', {'a': 1, 'z': 'w'}, True),
+      T('declared still validated', {'a': 'x'}, False)]),
+    ((4, 6, 7), 'type single-element array (r5 cal b9)',
+     {'type': ['string']},
+     [T('string ok', 'x', True),
+      T('number rejected', 1, False)]),
+    ((4, 6, 7), 'oneOf inside not (r5 cal b9)',
+     {'not': {'oneOf': [{'type': 'integer'}, {'minimum': 100}]}},
+     [T('string matches minimum arm vacuously -> rejected', 'x', False),
+      T('matches exactly one -> rejected', 1, False),
+      T('matches one (float >=100) -> rejected', 200.5, False),
+      T('matches both -> oneOf fails -> not ok', 200, True)]),
+    ((4, 6, 7), 'pattern alternation groups (r5 cal b9)',
+     {'pattern': '^(foo|bar)(-\\d+)?$'},
+     [T('bare alternative', 'foo', True),
+      T('with numeric suffix', 'bar-12', True),
+      T('wrong word', 'baz-1', False),
+      T('suffix without dash', 'foo12', False)]),
+]
+
 
 def iter_candidates():
     for draft, desc, schema, tests in format_groups():
         yield draft, desc, schema, tests
     for drafts, desc, schema, tests in (CORE_GROUPS + CORE_GROUPS_B4 +
                                         CORE_GROUPS_B6 + CORE_GROUPS_B7 +
-                                        CORE_GROUPS_B8):
+                                        CORE_GROUPS_B8 + CORE_GROUPS_B9):
         for draft in drafts:
             yield draft, desc, schema, copy.deepcopy(tests)
         if 7 in drafts:
